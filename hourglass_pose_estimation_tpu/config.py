@@ -1,0 +1,183 @@
+"""Typed, validated configuration.
+
+The reference threads raw YAML dicts (`cfg['SECTION']['key']`) from the
+CLI to every layer with no schema, defaults or validation
+(`/root/reference/scripts/train_and_evaluate.py:49-64`). Here the same
+YAML *surface* (DATASET / MODEL / COMMON / TRAIN sections, same key
+names, so reference config files load unchanged) parses into frozen
+dataclasses with defaults, type checks, and `key=value` CLI overrides.
+
+Extensions over the reference (all defaulted so reference YAMLs work):
+  * TRAIN.precision  ('bf16' | 'f32') compute dtype,
+  * TRAIN.data_parallel / model_parallel mesh axis sizes,
+  * DATASET.device_pipeline — run augmentation+target render on device,
+  * COMMON.seed,
+  * EVAL.decode ('quarter' | 'dark'), EVAL.flip_test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+import yaml
+
+
+def _coerce(value: str):
+    """Best-effort literal coercion for CLI overrides."""
+    try:
+        return yaml.safe_load(value)
+    except Exception:
+        return value
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    name: str = 'synthetic'
+    image_path: str = ''
+    annotation_path: str = ''
+    inp_res: int = 256
+    out_res: int = 64
+    flip: bool = True
+    sigma: int = 1
+    scale_factor: float = 0.25
+    rot_factor: float = 30.0
+    label_type: str = 'Gaussian'
+    device_pipeline: bool = True   # augment + render targets on device
+    num_samples: int = 512         # synthetic dataset size
+
+    def __post_init__(self):
+        if self.label_type != 'Gaussian':
+            raise ValueError('only Gaussian targets are supported '
+                             '(parity: common.py:206-207)')
+        if self.inp_res % self.out_res != 0:
+            raise ValueError('inp_res must be a multiple of out_res')
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str = 'hg'
+    num_stacks: int = 2
+    num_blocks: int = 1
+    mobile: bool = False
+    skip_mode: str = 'sum'
+    num_classes: int = 0           # 0 -> derive from dataset / subset
+    subset: Optional[List[int]] = None
+
+    def __post_init__(self):
+        if self.skip_mode not in ('sum', 'concat'):
+            raise ValueError("skip_mode must be 'sum' or 'concat'")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    num_workers: int = 0
+    epochs: int = 50
+    start_epoch: int = 0
+    train_batch: int = 32
+    val_batch: int = 32
+    learning_rate: float = 2.5e-3
+    schedule: List[int] = field(default_factory=lambda: [35, 45])
+    gamma: float = 0.1
+    precision: str = 'bf16'
+    data_parallel: int = 0         # 0 -> all devices
+    model_parallel: int = 1
+    steps_per_epoch: int = 0       # 0 -> full dataset
+
+    def __post_init__(self):
+        if self.precision not in ('bf16', 'f32'):
+            raise ValueError("precision must be 'bf16' or 'f32'")
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    decode: str = 'quarter'        # 'quarter' | 'dark'
+    flip_test: bool = False
+
+    def __post_init__(self):
+        if self.decode not in ('quarter', 'dark'):
+            raise ValueError("decode must be 'quarter' or 'dark'")
+
+
+@dataclass(frozen=True)
+class CommonConfig:
+    checkpoint_dir: str = './checkpoints'
+    snapshot: int = 10
+    resume: str = ''
+    evaluate_only: bool = False
+    pck: float = 0.5
+    seed: int = 0
+    # inference-only keys (estimate.py surface)
+    image_path: str = ''
+    dest_path: str = ''
+    dataset: str = ''
+    in_res: int = 256
+    out_res: int = 64
+
+
+@dataclass(frozen=True)
+class Config:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    common: CommonConfig = field(default_factory=CommonConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def run_name(self) -> str:
+        """Checkpoint-dir naming parity (train_and_evaluate.py:7-15)."""
+        subset = 'all' if self.model.subset is None else str(self.model.subset)
+        mobile = 'mobile' if self.model.mobile else 'non-mobile'
+        return (f'{self.dataset.name}_{self.model.arch}_'
+                f's{self.model.num_stacks}_{mobile}_{subset}')
+
+
+_SECTION_MAP = {
+    'DATASET': ('dataset', DatasetConfig),
+    'MODEL': ('model', ModelConfig),
+    'TRAIN': ('train', TrainConfig),
+    'COMMON': ('common', CommonConfig),
+    'EVAL': ('eval', EvalConfig),
+}
+
+
+def _build_section(cls, raw: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in raw.items() if k in names}
+    unknown = set(raw) - names
+    if unknown:
+        # the reference tolerates dead keys (e.g. DATASET.flip) — warn, keep going
+        import warnings
+        warnings.warn(f'{cls.__name__}: ignoring unknown keys {sorted(unknown)}')
+    return cls(**known)
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Sequence[str] = (),
+                raw: Optional[dict] = None) -> Config:
+    """Load a YAML config (reference-compatible schema) with overrides.
+
+    Overrides are `SECTION.key=value` strings, e.g.
+    `TRAIN.train_batch=64 MODEL.num_stacks=8`.
+    """
+    data: dict = {}
+    if path:
+        if not os.path.isfile(path):
+            raise FileNotFoundError(path)
+        with open(path) as fp:
+            data = yaml.safe_load(fp) or {}
+    if raw:
+        data = {**data, **raw}
+
+    for ov in overrides:
+        if '=' not in ov or '.' not in ov.split('=', 1)[0]:
+            raise ValueError(f'override must be SECTION.key=value, got {ov!r}')
+        key, value = ov.split('=', 1)
+        section, name = key.split('.', 1)
+        data.setdefault(section.upper(), {})[name] = _coerce(value)
+
+    kwargs = {}
+    for section, (attr, cls) in _SECTION_MAP.items():
+        kwargs[attr] = _build_section(cls, data.get(section, {}) or {})
+    return Config(**kwargs)

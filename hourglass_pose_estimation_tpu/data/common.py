@@ -1,0 +1,236 @@
+"""Dataset core: packed record arrays + host/device input pipelines.
+
+Re-design of `/root/reference/src/datasets/common.py:33-248`. The
+reference is a torch `Dataset` doing per-sample Python work in forked
+dataloader workers (cv2 read -> augment -> warpAffine -> normalize ->
+Gaussian render). Here a dataset is a set of *packed numpy arrays*
+(struct-of-arrays), and there are two pipelines:
+
+  * host pipeline (`host_batch`) — exact reference semantics with cv2,
+    for parity and for real image files;
+  * device pipeline — the host only supplies fixed-size image canvases;
+    flip/scale/rotate sampling, the affine crop-warp, normalization and
+    Gaussian target rendering all run inside the jitted train step
+    (see `data/pipeline.py`). This is the TPU-first path: the only
+    host->device transfer is the raw uint8 canvas batch.
+
+Conventions kept from the reference: BGR channel order, pixel_std=200
+scales, the augmentation distributions of common.py:117-131 (one
+uniform draw gates both flip (p<=0.5) and rotation (p<=0.6); scale
+jitter clip(randn*sf+1, 1-sf, 1+sf); rotation clip(randn*rf, ±2rf)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hourglass_pose_estimation_tpu.utils.transforms import (
+    get_affine_transform, affine_transform, fliplr_joints)
+from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+
+PIXEL_STD = 200.0
+
+
+@dataclasses.dataclass
+class PoseRecords:
+    """Struct-of-arrays for N person instances."""
+
+    centers: np.ndarray               # [N, 2] f32
+    scales: np.ndarray                # [N, 2] f32 (units of 200 px)
+    joints: np.ndarray                # [N, J, 2] f32 (source-image coords)
+    vis: np.ndarray                   # [N, J] f32
+    widths: np.ndarray                # [N] f32 source-image widths (for flip)
+    image_paths: Optional[List[str]] = None
+    images: Optional[np.ndarray] = None   # [N, H, W, 3] uint8, in-memory sets
+
+    def __len__(self):
+        return self.centers.shape[0]
+
+
+class PoseDataset:
+    """Base dataset: subclasses fill `records`, `flip_pairs`, `n_joints`."""
+
+    name: str = 'base'
+    n_joints: int = 0
+    flip_pairs: Sequence[Sequence[int]] = ()
+
+    def __init__(self, is_train: bool, *, inp_res=256, out_res=64, sigma=1,
+                 scale_factor=0.25, rot_factor=30, **_unused):
+        self.is_train = is_train
+        self.inp_res = int(inp_res)
+        self.out_res = int(out_res)
+        self.sigma = int(sigma)
+        self.scale_factor = float(scale_factor)
+        self.rot_factor = float(rot_factor)
+        self.mean, self.std = get_meanstd(self.name)
+        self.records: PoseRecords = self._load_records()
+
+    # -- subclass hooks ------------------------------------------------
+    def _load_records(self) -> PoseRecords:
+        raise NotImplementedError
+
+    def _read_image(self, idx: int) -> np.ndarray:
+        """Return the source image [H, W, 3] uint8 (BGR)."""
+        r = self.records
+        if r.images is not None:
+            return r.images[idx]
+        import cv2
+        img = cv2.imread(r.image_paths[idx],
+                         cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        if img is None:
+            raise ValueError(f'failed to read {r.image_paths[idx]}')
+        return img
+
+    def __len__(self):
+        return len(self.records)
+
+    # -- flip-pair permutation (static, used by the device pipeline) ---
+    def flip_permutation(self) -> np.ndarray:
+        perm = np.arange(self.n_joints)
+        for a, b in self.flip_pairs:
+            perm[a], perm[b] = perm[b], perm[a]
+        return perm
+
+    # -- host (parity) pipeline ----------------------------------------
+    def host_sample(self, idx: int, rng: np.random.RandomState,
+                    train: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        """One augmented sample with the reference's exact host semantics
+        (common.py:99-151). Returns the un-normalized crop plus geometry;
+        normalization and target rendering happen on device.
+        """
+        train = self.is_train if train is None else train
+        r = self.records
+        img = self._read_image(idx)
+        joints = np.concatenate([r.joints[idx].copy(),
+                                 np.zeros((self.n_joints, 1))], axis=1)
+        vis3 = np.stack([r.vis[idx]] * 3, axis=1).astype(np.float64)
+        c = r.centers[idx].astype(np.float64).copy()
+        s = r.scales[idx].astype(np.float64).copy()
+        rot = 0.0
+
+        if train:
+            sf, rf = self.scale_factor, self.rot_factor
+            prob = rng.random_sample()
+            s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            rot = float(np.clip(rng.randn() * rf, -rf * 2, rf * 2)) \
+                if prob <= 0.6 else 0.0
+            if prob <= 0.5:
+                img = img[:, ::-1, :]
+                joints, vis3 = fliplr_joints(joints, vis3, img.shape[1],
+                                             self.flip_pairs)
+                c[0] = img.shape[1] - c[0] - 1
+
+        trans = get_affine_transform(c, s, rot, (self.inp_res, self.inp_res))
+        import cv2
+        crop = cv2.warpAffine(img, trans[:2].astype(np.float64),
+                              (self.inp_res, self.inp_res),
+                              flags=cv2.INTER_LINEAR)
+        for j in range(self.n_joints):
+            if vis3[j, 0] > 0:
+                joints[j, :2] = affine_transform(joints[j, :2], trans)
+
+        return {
+            'image': crop.astype(np.float32),            # [R, R, 3] BGR 0-255
+            'joints': joints[:, :2].astype(np.float32),  # input-crop coords
+            'vis': vis3[:, 0].astype(np.float32),
+            'center': c.astype(np.float32),
+            'scale': s.astype(np.float32),
+            'rotation': np.float32(rot),
+            'index': np.int32(idx),
+        }
+
+    def host_batch(self, idxs: Sequence[int], rng: np.random.RandomState,
+                   train: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        samples = [self.host_sample(i, rng, train) for i in idxs]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    # -- device pipeline: raw canvases ----------------------------------
+    def canvas_batch(self, idxs: Sequence[int],
+                     canvas: int = 512) -> Dict[str, np.ndarray]:
+        """Fixed-size uint8 canvases + geometry for on-device augmentation.
+
+        Each source image is scaled by q = canvas/max(H, W) (bilinear)
+        and zero-padded bottom/right. The device pipeline composes q (and
+        the train-time flip) into the crop affine.
+        """
+        import cv2
+        r = self.records
+        B = len(idxs)
+        out = np.zeros((B, canvas, canvas, 3), np.uint8)
+        qs = np.zeros((B,), np.float32)
+        widths = r.widths[idxs].astype(np.float32).copy()
+        for k, i in enumerate(idxs):
+            img = self._read_image(i)
+            h, w = img.shape[:2]
+            widths[k] = float(w)  # datasets may defer widths (e.g. MPII)
+            q = canvas / max(h, w)
+            if q != 1.0:
+                img = cv2.resize(img, (int(round(w * q)), int(round(h * q))),
+                                 interpolation=cv2.INTER_LINEAR)
+            out[k, :img.shape[0], :img.shape[1]] = img
+            qs[k] = q
+        return {
+            'canvas': out,
+            'canvas_scale': qs,
+            'center': r.centers[idxs].astype(np.float32),
+            'scale': r.scales[idxs].astype(np.float32),
+            'joints': r.joints[idxs].astype(np.float32),
+            'vis': r.vis[idxs].astype(np.float32),
+            'width': widths,
+            'index': np.asarray(idxs, np.int32),
+        }
+
+
+class Loader:
+    """Epoch iterator over batches of indices (static batch shapes).
+
+    Training drops the ragged tail (jit wants static shapes); evaluation
+    pads the final batch by repeating the last index and returns a
+    validity mask so metrics ignore padding.
+    """
+
+    def __init__(self, dataset: PoseDataset, batch_size: int, *,
+                 shuffle: bool, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch_indices(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        batches = []
+        for b in range(len(self)):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            valid = np.ones((self.batch_size,), np.float32)
+            if len(idx) < self.batch_size:
+                pad = self.batch_size - len(idx)
+                valid[len(idx):] = 0.0
+                idx = np.concatenate([idx, np.full((pad,), idx[-1] if len(idx) else 0)])
+            batches.append((idx.astype(np.int64), valid))
+        return batches
+
+
+# registry filled by dataset modules
+REGISTRY: Dict[str, type] = {}
+
+
+def register(cls):
+    REGISTRY[cls.name] = cls
+    return cls
+
+
+def get_dataset(name: str, is_train: bool, **kwargs) -> PoseDataset:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown dataset '{name}'; available: {sorted(REGISTRY)}")
+    return REGISTRY[name](is_train, **kwargs)

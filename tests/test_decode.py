@@ -1,0 +1,116 @@
+"""Decode parity vs direct oracles of the reference decoders
+(inference.py:9-87, estimator.py:56-74), batched vs per-sample loops."""
+
+import math
+
+import numpy as np
+import cv2
+import torch
+
+from hourglass_pose_estimation_tpu.ops import decode as D
+from hourglass_pose_estimation_tpu.utils.transforms import (
+    get_affine_transform, affine_transform)
+from tests.test_evaluation import _torch_get_preds
+
+
+def _oracle_quarter_offset(hms_nchw, center, scale):
+    """get_final_preds_v1 semantics for a single sample (B=1 slice)."""
+    coords = _torch_get_preds(hms_nchw)[0].clone()
+    H, W = hms_nchw.shape[2], hms_nchw.shape[3]
+    for p in range(coords.size(0)):
+        hm = hms_nchw[0][p]
+        px = int(math.floor(coords[p][0] + 0.5))
+        py = int(math.floor(coords[p][1] + 0.5))
+        if 1 < px < W - 1 and 1 < py < H - 1:
+            diff = torch.tensor([hm[py - 1][px] - hm[py - 1][px - 2],
+                                 hm[py][px - 1] - hm[py - 2][px - 1]])
+            coords[p] += diff.sign() * .25
+    coords = coords.numpy()
+    trans = get_affine_transform(center, scale, 0, (W, H), inv=True)
+    return np.stack([affine_transform(c, trans) for c in coords])
+
+
+def _rand_peaky_heatmaps(rng, B, J, H, W):
+    """Heatmaps with clear Gaussian peaks (realistic decode input)."""
+    hm = np.zeros((B, H, W, J), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W]
+    for b in range(B):
+        for j in range(J):
+            cx, cy = rng.uniform(2, W - 3), rng.uniform(2, H - 3)
+            hm[b, :, :, j] = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / 4.0)
+    hm += rng.uniform(0, 0.05, size=hm.shape).astype(np.float32)
+    return hm
+
+
+def test_quarter_offset_parity(rng):
+    B, J, H, W = 5, 16, 64, 64
+    hm = _rand_peaky_heatmaps(rng, B, J, H, W)
+    centers = rng.uniform(100, 200, size=(B, 2)).astype(np.float32)
+    scales = rng.uniform(0.8, 2.0, size=(B,)).astype(np.float32)
+    preds, maxvals = D.decode_quarter_offset(hm, centers, scales)
+    preds = np.asarray(preds)
+    for b in range(B):
+        oracle = _oracle_quarter_offset(
+            torch.from_numpy(hm[b:b + 1].transpose(0, 3, 1, 2)),
+            centers[b], scales[b])
+        np.testing.assert_allclose(preds[b], oracle, rtol=1e-3, atol=0.05)
+
+
+def test_quarter_offset_edge_peaks(rng):
+    # peaks at the border: offset must be skipped, not crash
+    hm = np.zeros((2, 64, 64, 3), np.float32)
+    hm[0, 0, 0, 0] = 1.0
+    hm[0, 63, 63, 1] = 1.0
+    hm[0, 0, 63, 2] = 1.0
+    hm[1, 32, 32, :] = 1.0
+    centers = np.array([[128, 128], [128, 128]], np.float32)
+    scales = np.array([1.0, 1.0], np.float32)
+    preds, _ = D.decode_quarter_offset(hm, centers, scales)
+    for b in range(2):
+        oracle = _oracle_quarter_offset(
+            torch.from_numpy(hm[b:b + 1].transpose(0, 3, 1, 2)),
+            centers[b], scales[b])
+        np.testing.assert_allclose(np.asarray(preds)[b], oracle, atol=0.01)
+
+
+def test_gaussian_blur_matches_cv2(rng):
+    B, J, H, W = 2, 4, 64, 64
+    hm = _rand_peaky_heatmaps(rng, B, J, H, W)
+    ours = np.asarray(D.gaussian_blur(hm, 11))
+    kernel, border = 11, 5
+    for b in range(B):
+        for j in range(J):
+            m = hm[b, :, :, j]
+            omax = m.max()
+            dr = np.zeros((H + 2 * border, W + 2 * border))
+            dr[border:-border, border:-border] = m
+            dr = cv2.GaussianBlur(dr, (kernel, kernel), 0)
+            ref = dr[border:-border, border:-border]
+            ref = ref * omax / ref.max()
+            np.testing.assert_allclose(ours[b, :, :, j], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dark_decode_runs_and_refines(rng):
+    B, J, H, W = 3, 16, 64, 64
+    hm = _rand_peaky_heatmaps(rng, B, J, H, W)
+    centers = np.full((B, 2), 128.0, np.float32)
+    scales = np.full((B,), 64 * 4 / 200.0, np.float32)  # identity-ish crop
+    preds, _ = D.decode_dark(hm, centers, scales)
+    coarse, _ = D.decode_quarter_offset(hm, centers, scales)
+    # both map into the input-image frame; DARK should stay close to coarse
+    assert np.all(np.abs(np.asarray(preds) - np.asarray(coarse)) < 8.0)
+
+
+def test_simple_argmax_decode(rng):
+    B, J, H, W = 2, 17, 64, 64
+    hm = _rand_peaky_heatmaps(rng, B, J, H, W)
+    hm[0, :, :, 0] = 0.001  # below threshold -> (0, 0)
+    kps, maxv = D.decode_simple_argmax(hm, (256, 256), (512, 384))
+    kps = np.asarray(kps)
+    assert kps[0, 0, 0] == 0 and kps[0, 0, 1] == 0
+    # manual check of one joint
+    j = 3
+    flat = hm[1, :, :, j]
+    iy, ix = np.unravel_index(np.argmax(flat), flat.shape)
+    assert kps[1, j, 0] == int(ix * (512 / 256) * 4)
+    assert kps[1, j, 1] == int(iy * (384 / 256) * 4)

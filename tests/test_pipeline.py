@@ -1,0 +1,117 @@
+"""Device input-pipeline tests: warp parity vs cv2, flip composition,
+and end-to-end device augmentation consistency (joints land where the
+warped image says they land)."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from hourglass_pose_estimation_tpu.data import (
+    Synthetic, make_spec, augment_batch)
+from hourglass_pose_estimation_tpu.ops.warp import affine_warp
+from hourglass_pose_estimation_tpu.utils.transforms import (
+    get_affine_transform, batched_affine_transforms, batched_apply_affine)
+
+
+def _ds(n=8, train=True):
+    return Synthetic(train, num_samples=n, inp_res=256, out_res=64,
+                     sigma=1, scale_factor=0.25, rot_factor=30)
+
+
+def test_affine_warp_matches_cv2(rng):
+    B, H, W = 3, 200, 300
+    imgs = rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32)
+    centers = np.array([[150, 100], [80, 60], [250, 150]], np.float32)
+    scales = np.array([0.9, 1.4, 0.7], np.float32)
+    rots = np.array([0.0, 25.0, -40.0], np.float32)
+
+    inv = batched_affine_transforms(centers, scales, rots, (256, 256), inv=True)
+    ours = np.asarray(affine_warp(imgs, inv, (256, 256)))
+
+    for b in range(B):
+        trans = get_affine_transform(centers[b], scales[b], rots[b], (256, 256))
+        ref = cv2.warpAffine(imgs[b], trans.astype(np.float64), (256, 256),
+                             flags=cv2.INTER_LINEAR)
+        # identical bilinear sampling up to float32 coordinate rounding:
+        # compare away from borders where a half-ulp can flip the zero fill
+        diff = np.abs(ours[b] - ref)
+        assert np.percentile(diff, 99.0) < 1.5, np.percentile(diff, 99)
+        assert np.median(diff) < 0.1
+
+
+def test_device_pipeline_shapes_and_types():
+    ds = _ds()
+    spec = make_spec(ds)
+    batch = ds.canvas_batch(list(range(4)), canvas=256)
+    out = augment_batch(batch, jax.random.PRNGKey(0), spec, True)
+    assert out['image'].shape == (4, 256, 256, 3)
+    assert out['target'].shape == (4, 64, 64, 16)
+    assert out['target_weight'].shape == (4, 16)
+    assert out['image'].dtype == jnp.float32
+
+
+def test_device_pipeline_eval_deterministic():
+    ds = _ds(train=False)
+    spec = make_spec(ds)
+    batch = ds.canvas_batch([0, 1], canvas=256)
+    a = augment_batch(batch, jax.random.PRNGKey(0), spec, False)
+    b = augment_batch(batch, jax.random.PRNGKey(9), spec, False)
+    np.testing.assert_allclose(np.asarray(a['image']), np.asarray(b['image']))
+    np.testing.assert_allclose(np.asarray(a['target']), np.asarray(b['target']))
+
+
+def test_target_peaks_align_with_image_blobs():
+    """The rendered target argmax must hit the warped joint locations."""
+    ds = _ds(train=True)
+    spec = make_spec(ds)
+    batch = ds.canvas_batch(list(range(6)), canvas=256)
+    out = augment_batch(batch, jax.random.PRNGKey(3), spec, True)
+    tgt = np.asarray(out['target'])
+    jin = np.asarray(out['joints_input'])
+    tw = np.asarray(out['target_weight'])
+    hits = total = 0
+    for b in range(tgt.shape[0]):
+        for j in range(tgt.shape[-1]):
+            if tw[b, j] < 0.5:
+                continue
+            hm = tgt[b, :, :, j]
+            iy, ix = np.unravel_index(np.argmax(hm), hm.shape)
+            ex, ey = jin[b, j] / 4.0  # stride 4
+            total += 1
+            if abs(ix - ex) <= 1.0 and abs(iy - ey) <= 1.0:
+                hits += 1
+    assert total > 0 and hits / total > 0.99, (hits, total)
+
+
+def test_flip_composition_against_host_oracle(rng):
+    """Force a flip on device and reproduce it with numpy on the host."""
+    ds = _ds(train=True)
+    spec = make_spec(ds)
+    idx = [0]
+    batch = ds.canvas_batch(idx, canvas=256)
+
+    # find a key whose first uniform draw flips (prob <= 0.5)
+    key = None
+    for k in range(20):
+        cand = jax.random.PRNGKey(k)
+        prob = jax.random.uniform(jax.random.split(cand, 3)[0], (1,))
+        if float(prob[0]) <= 0.45:
+            key = cand
+            break
+    assert key is not None
+    out = augment_batch(batch, key, spec, True)
+
+    # host oracle: flip image + center, same affine, cv2 warp
+    img = batch['canvas'][0].astype(np.float32)
+    w = batch['width'][0]
+    c = batch['center'][0].copy()
+    c[0] = w - c[0] - 1
+    s = np.asarray(out['scale'])[0]
+    r = float(np.asarray(out['rotation'])[0])
+    flipped = img[:, ::-1, :]
+    trans = get_affine_transform(c, s, r, (256, 256))
+    ref = cv2.warpAffine(flipped, trans.astype(np.float64), (256, 256))
+    ref = (ref / 255.0 - np.array(spec.mean)) / np.array(spec.std)
+    got = np.asarray(out['image'])[0]
+    assert np.median(np.abs(got - ref)) < 0.05
