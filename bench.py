@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: 8-stack hourglass MPII-config training throughput.
+
+Measures images/sec for the full fused train step — on-device
+augmentation + Gaussian target rendering + forward + backward + RMSprop
+— for the flagship config (8 stacks, full (non-mobile) blocks, 16
+joints, 256x256 input, bf16 compute), on whatever accelerator jax
+exposes (one TPU chip under the driver).
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_8stack_256", "value": N,
+   "unit": "img/s/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is the BASELINE.json north-star target of 4x an A100
+running the same model. A100 throughput for an 8-stack hourglass
+(25.6M params, ~41 GF fwd @256^2, ~123 GF train) at a generous 40% MFU
+in bf16 is ~350 img/s, so the target is 1400 img/s; vs_baseline =
+value / 1400 (>= 1.0 meets the north star).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_ESTIMATE_IMG_S = 350.0
+TARGET = 4.0 * A100_ESTIMATE_IMG_S
+
+BATCH = int(os.environ.get('BENCH_BATCH', '32'))
+STACKS = int(os.environ.get('BENCH_STACKS', '8'))
+RES = int(os.environ.get('BENCH_RES', '256'))
+WARMUP = 3
+ITERS = int(os.environ.get('BENCH_ITERS', '10'))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.data import Synthetic, make_spec
+    from hourglass_pose_estimation_tpu.runner.train_state import (
+        make_optimizer, init_state, make_train_step)
+
+    ds = Synthetic(True, num_samples=BATCH, inp_res=RES, out_res=RES // 4,
+                   sigma=1, scale_factor=0.25, rot_factor=30)
+    spec = make_spec(ds)
+    model = HourglassNet(num_stacks=STACKS, num_blocks=1, num_classes=16,
+                         mobile=False, skip_mode='sum', dtype=jnp.bfloat16)
+    tx = make_optimizer(2.5e-3, [35, 45], 0.1, 100)
+    state = init_state(model, jax.random.PRNGKey(0), (1, RES, RES, 3), tx)
+    step = make_train_step(spec, device_pipeline=True)
+
+    raw = ds.canvas_batch(list(range(BATCH)), canvas=RES)
+    raw = {k: jax.device_put(v) for k, v in raw.items()}
+    rng = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, raw, sub)
+    jax.block_until_ready(metrics['loss'])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, raw, sub)
+    jax.block_until_ready(metrics['loss'])
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(json.dumps({
+        'metric': f'train_images_per_sec_{STACKS}stack_{RES}',
+        'value': round(img_s, 2),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(img_s / TARGET, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -5,9 +5,11 @@ used as `models.__dict__[arch](**kwargs)`)."""
 from hourglass_pose_estimation_tpu.models.hourglass import HourglassNet, hg
 from hourglass_pose_estimation_tpu.models.modules import (
     Bottleneck, Hourglass, ResidualChain)
+from hourglass_pose_estimation_tpu.models.mspn import MSPN, mspn
 
 REGISTRY = {
     'hg': hg,
+    'mspn': mspn,
 }
 
 

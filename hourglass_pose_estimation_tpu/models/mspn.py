@@ -1,0 +1,253 @@
+"""MSPN: multi-stage ResNet-50-style pose network, TPU-native.
+
+Re-design of `/root/reference/src/models/mspn.py:8-311` in flax/NHWC.
+Per stage: a ResNet-50 downsample trunk ([3,4,6,3] bottlenecks, x4
+channel expansion) with cross-stage skip-add inputs, then an upsample
+chain of 4 units (1x1 u-skip + align-corners bilinear upsample + per-
+resolution heatmap head + gen_skip / gen_cross_conv feature outputs).
+
+Key deviation (a fix, cited in SURVEY.md §2): the reference's MSPN is
+untrainable end-to-end — its `forward` returns a list-of-lists that
+crashes the Trainer's MSELoss (trainer.py:91 vs mse.py:42-43), and its
+own `compute_loss` is never wired in. Here `forward` returns ONE
+stacked array [S*4, B, h, w, J] (stage-major, coarsest-resolution head
+first; every head is already upsampled to out_res like the reference
+does), so the standard per-"stack" heatmap MSE and PCK paths apply
+unchanged — multi-resolution supervision becomes first-class.
+
+Structural parity checks: 25,132,480 params (1 stage, 16 joints,
+chl=256) / 56,848,576 (2 stages) — verified against the reference by
+instantiation. Reference init is reproduced: Kaiming fan_out normal
+for convs, BN scale 1 / bias 0, and the quirk that only the FIRST
+bottleneck of each ResNet layer receives `mobile` (mspn.py:105-108).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hourglass_pose_estimation_tpu.ops.resize import (
+    resize_bilinear_align_corners)
+
+_KAIMING = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
+
+
+class ConvBN(nn.Module):
+    """Conv + BN (+ optional ReLU); `mobile` makes the conv depthwise."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    relu: bool = True
+    mobile: bool = False
+    zero_bn: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        groups = self.features if self.mobile else 1
+        x = nn.Conv(self.features, (k, k), strides=(self.stride,) * 2,
+                    padding=[(k // 2, k // 2)] * 2, use_bias=True,
+                    feature_group_count=groups, kernel_init=_KAIMING,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name='conv')(x)
+        scale_init = (nn.initializers.zeros if self.zero_bn
+                      else nn.initializers.ones)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         scale_init=scale_init, name='bn')(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class MSPNBottleneck(nn.Module):
+    """Post-activation ResNet bottleneck, expansion 4 (mspn.py:30-56)."""
+
+    planes: int
+    stride: int = 1
+    mobile: bool = False
+    zero_init_residual: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_out = self.planes * 4
+        out = ConvBN(self.planes, 1, 1, True, dtype=self.dtype,
+                     name='cbr1')(x, train)
+        out = ConvBN(self.planes, 3, self.stride, True, mobile=self.mobile,
+                     dtype=self.dtype, name='cbr2')(out, train)
+        out = ConvBN(c_out, 1, 1, False, zero_bn=self.zero_init_residual,
+                     dtype=self.dtype, name='cbr3')(out, train)
+        if self.stride != 1 or x.shape[-1] != c_out:
+            x = ConvBN(c_out, 1, self.stride, False, dtype=self.dtype,
+                       name='downsample')(x, train)
+        return nn.relu(out + x).astype(self.dtype)
+
+
+class DownSample(nn.Module):
+    """ResNet-50 trunk with optional cross-stage skip-adds
+    (mspn.py:72-125). Returns (x4, x3, x2, x1)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    has_skip: bool = False
+    zero_init_residual: bool = False
+    mobile: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip1=None, skip2=None, train: bool = False):
+        outs = []
+        for li, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if li == 0 else 2
+            for b in range(blocks):
+                # reference quirk: only the first block gets `mobile`
+                x = MSPNBottleneck(planes, stride if b == 0 else 1,
+                                   mobile=self.mobile and b == 0,
+                                   zero_init_residual=self.zero_init_residual,
+                                   dtype=self.dtype,
+                                   name=f'layer{li + 1}_block{b}')(x, train)
+            if self.has_skip:
+                x = x + skip1[li] + skip2[li]
+            outs.append(x)
+        x1, x2, x3, x4 = outs
+        return x4, x3, x2, x1
+
+
+class UpsampleUnit(nn.Module):
+    """One decoder unit (mspn.py:128-190)."""
+
+    ind: int
+    up_size: tuple
+    output_chl_num: int
+    output_shape: tuple
+    chl_num: int = 256
+    gen_skip: bool = False
+    gen_cross_conv: bool = False
+    mobile: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, up_x=None, train: bool = False):
+        out = ConvBN(self.chl_num, 1, 1, False, dtype=self.dtype,
+                     name='u_skip')(x, train)
+        if self.ind > 0:
+            up_x = resize_bilinear_align_corners(up_x, self.up_size)
+            up_x = ConvBN(self.chl_num, 1, 1, False, mobile=self.mobile,
+                          dtype=self.dtype, name='up_conv')(up_x, train)
+            out = out + up_x
+        out = nn.relu(out).astype(self.dtype)
+
+        res = ConvBN(self.chl_num, 1, 1, True, mobile=self.mobile,
+                     dtype=self.dtype, name='res_conv1')(out, train)
+        res = ConvBN(self.output_chl_num, 3, 1, False, dtype=self.dtype,
+                     name='res_conv2')(res, train)
+        res = resize_bilinear_align_corners(res, self.output_shape)
+
+        skip1 = skip2 = cross = None
+        if self.gen_skip:
+            skip1 = ConvBN(x.shape[-1], 1, 1, True, mobile=self.mobile,
+                           dtype=self.dtype, name='skip1')(x, train)
+            skip2 = ConvBN(x.shape[-1], 1, 1, True, dtype=self.dtype,
+                           name='skip2')(out, train)
+        if self.ind == 3 and self.gen_cross_conv:
+            cross = ConvBN(64, 1, 1, True, dtype=self.dtype,
+                           name='cross_conv')(out, train)
+        return out, res, skip1, skip2, cross
+
+
+class SingleStage(nn.Module):
+    output_chl_num: int
+    output_shape: tuple
+    has_skip: bool = False
+    gen_skip: bool = False
+    gen_cross_conv: bool = False
+    chl_num: int = 256
+    zero_init_residual: bool = False
+    mobile: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip1=None, skip2=None, train: bool = False):
+        x4, x3, x2, x1 = DownSample(
+            has_skip=self.has_skip,
+            zero_init_residual=self.zero_init_residual,
+            mobile=self.mobile, dtype=self.dtype,
+            name='downsample')(x, skip1, skip2, train)
+
+        h, w = self.output_shape
+        up_sizes = [(h // 8, w // 8), (h // 4, w // 4), (h // 2, w // 2), (h, w)]
+        common = dict(output_chl_num=self.output_chl_num,
+                      output_shape=self.output_shape, chl_num=self.chl_num,
+                      gen_skip=self.gen_skip,
+                      gen_cross_conv=self.gen_cross_conv,
+                      mobile=self.mobile, dtype=self.dtype)
+        out1, res1, s1_1, s2_1, _ = UpsampleUnit(0, up_sizes[0], **common,
+                                                 name='up1')(x4, None, train)
+        out2, res2, s1_2, s2_2, _ = UpsampleUnit(1, up_sizes[1], **common,
+                                                 name='up2')(x3, out1, train)
+        out3, res3, s1_3, s2_3, _ = UpsampleUnit(2, up_sizes[2], **common,
+                                                 name='up3')(x2, out2, train)
+        out4, res4, s1_4, s2_4, cross = UpsampleUnit(3, up_sizes[3], **common,
+                                                     name='up4')(x1, out3, train)
+        res = [res1, res2, res3, res4]           # coarsest head first
+        skip1 = [s1_4, s1_3, s1_2, s1_1]
+        skip2 = [s2_4, s2_3, s2_2, s2_1]
+        return res, skip1, skip2, cross
+
+
+class MSPN(nn.Module):
+    num_stacks: int = 2
+    num_classes: int = 16
+    out_res: int = 64
+    up_channel_num: int = 256
+    mobile: bool = False
+    zero_init_residual: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [B, H, W, 3] -> [num_stacks*4, B, out_res, out_res, J]."""
+        dt = self.dtype
+        x = x.astype(dt)
+        x = ConvBN(64, 7, 2, True, dtype=dt, name='top')(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outputs = []
+        skip1 = skip2 = None
+        for i in range(self.num_stacks):
+            res, skip1, skip2, cross = SingleStage(
+                self.num_classes, (self.out_res, self.out_res),
+                has_skip=i > 0,
+                gen_skip=i != self.num_stacks - 1,
+                gen_cross_conv=i != self.num_stacks - 1,
+                chl_num=self.up_channel_num,
+                zero_init_residual=self.zero_init_residual,
+                mobile=self.mobile, dtype=dt,
+                name=f'stage{i}')(x, skip1, skip2, train)
+            outputs.extend(r.astype(jnp.float32) for r in res)
+            x = cross
+        return jnp.stack(outputs, axis=0)
+
+
+def mspn(**kwargs):
+    """Factory with the reference kwarg surface (mspn.py:307-311).
+
+    NOTE: the reference maps num_blocks -> up_channel_num, which makes
+    the Trainer silently build a 1-channel decoder (trainer.py:29 passes
+    num_blocks=1). We accept an explicit `up_channel_num` (default 256)
+    and ignore `num_blocks` — documented fix.
+    """
+    return MSPN(num_stacks=kwargs['num_stacks'],
+                num_classes=kwargs['num_classes'],
+                out_res=kwargs.get('out_res', 64),
+                up_channel_num=kwargs.get('up_channel_num', 256),
+                mobile=kwargs.get('mobile', False),
+                zero_init_residual=kwargs.get('zero_init_residual', False),
+                dtype=kwargs.get('dtype', jnp.bfloat16))

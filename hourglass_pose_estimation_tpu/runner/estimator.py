@@ -1,0 +1,121 @@
+"""Estimator: single-image / batched inference service.
+
+Parity surface: `/root/reference/src/runner/estimator.py:11-93` —
+build model from config, load checkpoint, preprocess a BGR frame
+(/255, per-dataset mean/std, resize — the reference normalizes BEFORE
+resizing; reproduced), forward, take the last stack, decode. The
+decode here runs on device (`ops/decode.py`) instead of the
+reference's host loops, and `run_batch` amortizes compilation across
+frames (the reference is strictly single-image).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hourglass_pose_estimation_tpu.config import Config
+from hourglass_pose_estimation_tpu.models import get_model
+from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd, ESTIMATOR_MEANSTD
+from hourglass_pose_estimation_tpu.ops.decode import (
+    decode_quarter_offset, decode_simple_argmax)
+from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
+
+
+class Estimator:
+    def __init__(self, cfg: Config, params=None, batch_stats=None,
+                 strict_reference_stats: bool = False):
+        mc, cc = cfg.model, cfg.common
+        self.cfg = cfg
+        num_classes = mc.num_classes or 16
+        self.model = get_model(mc.arch, num_stacks=mc.num_stacks,
+                               num_blocks=mc.num_blocks,
+                               num_classes=num_classes, mobile=mc.mobile,
+                               skip_mode=mc.skip_mode)
+        self.input_size = (cc.in_res, cc.in_res)
+        self.threshold = 0.02
+        stats = ESTIMATOR_MEANSTD if strict_reference_stats else None
+        if stats is not None:
+            for key, v in stats.items():
+                if key in cc.dataset:
+                    self.mean, self.std = v
+                    break
+            else:
+                self.mean, self.std = get_meanstd(cc.dataset)
+        else:
+            self.mean, self.std = get_meanstd(cc.dataset)
+
+        if params is None:
+            if not cc.resume:
+                raise FileNotFoundError('Checkpoint not found')
+            params, batch_stats = ckpt_lib.restore_params(cc.resume)
+        self.variables = {'params': params, 'batch_stats': batch_stats or {}}
+
+        @jax.jit
+        def _forward(variables, frames):
+            return self.model.apply(variables, frames, train=False)[-1]
+
+        self._forward = _forward
+
+    # -- preprocessing --------------------------------------------------
+    def preprocess(self, frames: np.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] (or [H, W, 3]) BGR uint8 -> normalized, resized.
+
+        Order parity with the reference (estimator.py:39-54): normalize
+        in source resolution, then resize to the network input.
+        """
+        import cv2
+        if frames.ndim == 3:
+            frames = frames[None]
+        mean = np.asarray(self.mean, np.float32)
+        std = np.asarray(self.std, np.float32)
+        out = np.zeros((frames.shape[0], *self.input_size, 3), np.float32)
+        for i, f in enumerate(frames):
+            x = f.astype(np.float32) / 255.0
+            x = (x - mean) / std
+            out[i] = cv2.resize(x, self.input_size)
+        return jnp.asarray(out)
+
+    # -- decoding -------------------------------------------------------
+    def post_process_v1(self, heatmaps, output_size):
+        """Thresholded argmax + x4 stride upscale (estimator.py:56-74)."""
+        kps, maxv = decode_simple_argmax(heatmaps, self.input_size,
+                                         output_size, self.threshold)
+        return np.asarray(kps), np.asarray(maxv)
+
+    def post_process_v2(self, heatmaps, output_size):
+        """Synthesized center/scale + quarter-offset (estimator.py:76-82)."""
+        B, H, W, J = heatmaps.shape
+        center = np.array([round(output_size[0] * 0.5),
+                           round(output_size[1] * 0.5)], np.float32)
+        scale = np.array([output_size[0] * 4.0 / 200.0 / H,
+                          output_size[1] * 4.0 / 200.0 / W], np.float32)
+        centers = np.tile(center, (B, 1))
+        scales = np.tile(scale, (B, 1))
+        kps, maxv = decode_quarter_offset(heatmaps, centers, scales)
+        return np.asarray(kps).astype(np.int32), np.asarray(maxv)
+
+    # -- inference ------------------------------------------------------
+    def run(self, frame: np.ndarray, time_it: bool = True):
+        """One frame -> [J, 2] int keypoints in frame coordinates."""
+        inp = self.preprocess(frame)
+        start = time.time()
+        hms = jax.block_until_ready(self._forward(self.variables, inp))
+        if time_it:
+            print(f'Inference time: {time.time() - start:.3f}s')
+        kps, _ = self.post_process_v2(np.asarray(hms),
+                                      (frame.shape[1], frame.shape[0]))
+        return kps[0]
+
+    def run_batch(self, frames: np.ndarray):
+        """[B, H, W, 3] -> [B, J, 2] keypoints (batched path the
+        reference lacks)."""
+        inp = self.preprocess(frames)
+        hms = self._forward(self.variables, inp)
+        kps, _ = self.post_process_v2(np.asarray(hms),
+                                      (frames.shape[2], frames.shape[1]))
+        return kps

@@ -1,0 +1,115 @@
+"""Standalone evaluator (the `evaluate_only: True` path).
+
+Parity surface: `/root/reference/src/runner/evaluator.py:10-57` —
+builds the val loader, runs loss + heatmap-PCK with joint-subset
+selection, returns averaged (loss, acc). Extensions the reference
+lacks: flip-test averaging (BASELINE.json config 2; the reference
+parses DATASET.flip but never uses it) and keypoint decoding to
+source-image coordinates for dataset-official metrics (MPII PCKh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hourglass_pose_estimation_tpu.config import Config
+from hourglass_pose_estimation_tpu.data import (
+    get_dataset, Loader, make_spec, n_joints_for)
+from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
+from hourglass_pose_estimation_tpu.ops.decode import (
+    decode_quarter_offset, decode_dark)
+from hourglass_pose_estimation_tpu.utils.evaluation import AverageMeter
+
+
+def flip_heatmaps(hms: jax.Array, flip_perm) -> jax.Array:
+    """Average-ready flipped heatmaps: un-mirror W axis, swap L/R joints.
+
+    hms: [B, H, W, J] produced from a horizontally flipped input.
+    """
+    perm = jnp.asarray(flip_perm, jnp.int32)
+    out = hms[:, :, ::-1, :][..., perm]
+    # classic flip-test alignment: shift one pixel right so peaks line up
+    out = jnp.concatenate([out[:, :, :1, :], out[:, :, :-1, :]], axis=2)
+    return out
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, num_classes: Optional[int] = None,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        dc = cfg.dataset
+        self.ds = get_dataset(dc.name, False, image_path=dc.image_path,
+                              annotation_path=dc.annotation_path,
+                              inp_res=dc.inp_res, out_res=dc.out_res,
+                              sigma=dc.sigma, scale_factor=dc.scale_factor,
+                              rot_factor=dc.rot_factor,
+                              num_samples=dc.num_samples)
+        self.spec = make_spec(self.ds)
+        self.loader = Loader(self.ds, cfg.train.val_batch, shuffle=False,
+                             seed=cfg.common.seed, drop_last=False)
+        self.canvas = max(dc.inp_res, 64)
+
+        from hourglass_pose_estimation_tpu.runner.train_state import make_eval_step
+        self.eval_step = make_eval_step(self.spec, subset=cfg.model.subset,
+                                        pck_thr=cfg.common.pck,
+                                        device_pipeline=dc.device_pipeline)
+
+        self._decode = (decode_dark if cfg.eval.decode == 'dark'
+                        else decode_quarter_offset)
+        self._fwd_flip = None
+
+    def evaluate(self, state) -> Tuple[float, float]:
+        """Averaged (val_loss, heatmap PCK) — the reference's metric."""
+        loss_m, acc_m = AverageMeter(), AverageMeter()
+        for idx, valid in self.loader.epoch_indices():
+            raw = self.ds.canvas_batch(idx, canvas=self.canvas)
+            m = self.eval_step(state, raw, jnp.asarray(valid))
+            n = int(m['n'])
+            if n:
+                loss_m.update(float(m['loss']), n)
+                acc_m.update(float(m['acc']), n)
+        if self.verbose:
+            print(f'val: loss {loss_m.avg:.5f} | pck {acc_m.avg:.4f}')
+        return loss_m.avg, acc_m.avg
+
+    # ------------------------------------------------------------------
+    def predict_keypoints(self, state, flip_test: Optional[bool] = None):
+        """Decode keypoints for the whole val set into source-image
+        coordinates (for dataset-official metrics such as MPII PCKh).
+
+        Returns [N, J, 2] float32 predictions.
+        """
+        flip_test = self.cfg.eval.flip_test if flip_test is None else flip_test
+        perm = self.spec.flip_perm
+
+        @jax.jit
+        def forward(state, batch):
+            data = augment_batch(batch, jax.random.PRNGKey(0), self.spec, False)
+            hms = state.apply_fn({'params': state.params,
+                                  'batch_stats': state.batch_stats},
+                                 data['image'], train=False)[-1]
+            if flip_test:
+                flipped = data['image'][:, :, ::-1, :]
+                hf = state.apply_fn({'params': state.params,
+                                     'batch_stats': state.batch_stats},
+                                    flipped, train=False)[-1]
+                hms = 0.5 * (hms + flip_heatmaps(hf, perm))
+            preds, maxv = self._decode(hms, data['center'], data['scale'])
+            return preds, maxv
+
+        N = len(self.ds)
+        J = self.ds.n_joints
+        all_preds = np.zeros((N, J, 2), np.float32)
+        for idx, valid in self.loader.epoch_indices():
+            raw = self.ds.canvas_batch(idx, canvas=self.canvas)
+            preds, _ = forward(state, raw)
+            preds = np.asarray(preds)
+            for k, (i, v) in enumerate(zip(idx, valid)):
+                if v > 0:
+                    all_preds[i] = preds[k]
+        return all_preds

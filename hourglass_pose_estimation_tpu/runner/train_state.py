@@ -1,0 +1,145 @@
+"""Train state, optimizer and the jitted/sharded train & eval steps.
+
+Replaces the reference's host-driven loop body
+(`/root/reference/src/runner/trainer.py:75-108`): one XLA program per
+step containing the *entire* pipeline — on-device augmentation + target
+rendering (device pipeline mode), forward, loss, PCK metric, backward,
+RMSprop update — with the state donated (no reallocation) and the batch
+sharded over the 'data' mesh axis. Gradient all-reduce over ICI is
+inserted by the SPMD partitioner from the shardings.
+
+Optimizer parity: torch.optim.RMSprop(lr, momentum=0, weight_decay=0)
+(trainer.py:39-41) has alpha=0.99, eps=1e-8 applied *outside* the
+sqrt: u = g / (sqrt(E[g^2]) + eps). optax's default puts eps inside;
+we configure eps_in_sqrt=False for exact parity.
+
+LR schedule parity: step decay multiplying by `gamma` at each epoch in
+`schedule` (trainer.py:15-21), expressed as a step-indexed
+piecewise-constant optax schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
+from hourglass_pose_estimation_tpu.utils.evaluation import accuracy
+from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   tx=tx, apply_fn=apply_fn)
+
+
+def make_optimizer(learning_rate: float, schedule_epochs: Sequence[int],
+                   gamma: float, steps_per_epoch: int) -> optax.GradientTransformation:
+    """RMSprop + epoch-boundary step decay (reference parity)."""
+    boundaries = {int(e) * int(steps_per_epoch): gamma for e in schedule_epochs}
+    sched = optax.piecewise_constant_schedule(learning_rate, boundaries)
+    return optax.chain(
+        optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
+        optax.scale_by_learning_rate(sched),
+    )
+
+
+def init_state(model, rng, input_shape, tx) -> TrainState:
+    x = jnp.zeros(input_shape, jnp.float32)
+    variables = model.init(rng, x, train=False)
+    return TrainState.create(apply_fn=model.apply, params=variables['params'],
+                             batch_stats=variables.get('batch_stats', {}),
+                             tx=tx)
+
+
+def _select_subset(target, tw, subset):
+    if subset is None:
+        return target, tw
+    idx = jnp.asarray(subset)
+    return target[..., idx], tw[:, idx]
+
+
+def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
+    """Build the jitted train step.
+
+    The returned function signature:
+      device pipeline: (state, raw_batch, rng) -> (state, metrics)
+        raw_batch from `PoseDataset.canvas_batch`
+      host pipeline:   (state, batch, rng) -> (state, metrics)
+        batch with 'image' (normalized), 'target', 'target_weight'.
+    """
+    subset_t = tuple(subset) if subset is not None else None
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
+        if device_pipeline:
+            data = augment_batch(batch, rng, spec, True)
+            image, target, tw = data['image'], data['target'], data['target_weight']
+        else:
+            image, target, tw = batch['image'], batch['target'], batch['target_weight']
+        target, tw = _select_subset(target, tw, subset_t)
+
+        def loss_fn(params):
+            outs, mutated = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                image, train=True, mutable=['batch_stats'])
+            loss = heatmap_mse_loss(outs, target, tw)
+            return loss, (outs, mutated['batch_stats'])
+
+        (loss, (outs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        metrics = {'loss': loss, 'acc': acc}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
+    """Jitted eval step: forward + loss + PCK, no state mutation.
+
+    `valid` masks padded tail samples out of the batch statistics
+    (weights zeroed and sample count adjusted).
+    """
+    subset_t = tuple(subset) if subset is not None else None
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, valid):
+        if device_pipeline:
+            data = augment_batch(batch, jax.random.PRNGKey(0), spec, False)
+            image, target, tw = data['image'], data['target'], data['target_weight']
+        else:
+            image, target, tw = batch['image'], batch['target'], batch['target_weight']
+        target, tw = _select_subset(target, tw, subset_t)
+        tw = tw * valid[:, None]
+        # zero out padded samples' targets so PCK's gt>1 check skips them
+        target = target * valid[:, None, None, None]
+
+        outs = state.apply_fn(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            image, train=False)
+        loss = heatmap_mse_loss(outs, target, tw)
+        acc, per_joint, cnt = accuracy(outs[-1], target, thr=pck_thr)
+        return {'loss': loss, 'acc': acc, 'per_joint': per_joint,
+                'n': jnp.sum(valid)}
+
+    return eval_step

@@ -11,6 +11,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize registers the TPU backend at interpreter start
+# and pins jax_platforms=axon; the env var alone doesn't win. Override
+# through the config API before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# oneDNN's default-precision f32 convs introduce ~1e-3 relative error
+# that differs between batch shapes — force exact math for parity tests.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
