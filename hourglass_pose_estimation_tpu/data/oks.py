@@ -1,0 +1,96 @@
+"""COCO-style OKS / AP evaluation for top-down keypoints.
+
+The reference has no OKS path at all (its COCO eval is the generic
+heatmap PCK; SURVEY.md §3.2) — this implements the BASELINE.json
+config-4 requirement ("OKS/AP eval") self-contained (pycocotools is
+not available in this environment).
+
+Protocol: ground-truth-box top-down evaluation. Each prediction is
+scored against its own annotation instance (the correspondence is known
+because crops come from gt boxes — no detection/matching step), with
+
+    OKS = sum_i exp(-d_i^2 / (2 s^2 k_i^2)) * 1[v_i > 0] / sum_i 1[v_i > 0]
+
+where s^2 is the instance area and k_i the COCO per-keypoint constants.
+AP is averaged over OKS thresholds 0.50:0.05:0.95 (AP50/AP75 also
+reported). This matches pycocotools' formula; the simplification (no
+greedy multi-instance matching) is exact when every gt instance has
+exactly one prediction, which is the case here by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+COCO_SIGMAS = np.array([.26, .25, .25, .35, .35, .79, .79, .72, .72,
+                        .62, .62, 1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+CROWDPOSE_SIGMAS = np.array([.79, .79, .72, .72, .62, .62, 1.07, 1.07,
+                             .87, .87, .89, .89, .79, .79]) / 10.0
+
+
+def compute_oks(preds: np.ndarray, gts: np.ndarray, vis: np.ndarray,
+                areas: np.ndarray, sigmas: Optional[np.ndarray] = None
+                ) -> np.ndarray:
+    """Per-instance OKS.
+
+    Args:
+      preds: [N, J, 2] predicted keypoints (image coords).
+      gts:   [N, J, 2] ground-truth keypoints.
+      vis:   [N, J] visibility (>0 counts as labeled).
+      areas: [N] instance areas (pixels^2).
+      sigmas: [J] per-keypoint constants (default COCO 17-kpt).
+
+    Returns [N] OKS values (NaN where an instance has no labeled kpts).
+    """
+    preds = np.asarray(preds, np.float64)
+    gts = np.asarray(gts, np.float64)
+    vis = np.asarray(vis)
+    areas = np.asarray(areas, np.float64)
+    if sigmas is None:
+        sigmas = COCO_SIGMAS
+    sigmas = np.asarray(sigmas, np.float64)
+    assert preds.shape[1] == sigmas.shape[0], (preds.shape, sigmas.shape)
+
+    d2 = np.sum((preds - gts) ** 2, axis=-1)                    # [N, J]
+    # pycocotools: e = d^2 / (2 * vars * (area + eps)), vars = (2*sigma)^2
+    var = (2.0 * sigmas) ** 2
+    e = d2 / (var[None, :] * 2.0 * (areas[:, None] + np.spacing(1)))
+    ks = np.exp(-e)
+    labeled = vis > 0
+    n_lab = labeled.sum(axis=1)
+    oks = np.where(n_lab > 0,
+                   (ks * labeled).sum(axis=1) / np.maximum(n_lab, 1),
+                   np.nan)
+    return oks
+
+
+def oks_ap(preds, gts, vis, areas, sigmas=None) -> Dict[str, float]:
+    """AP over OKS thresholds .50:.05:.95 plus AP50 / AP75 / mean OKS."""
+    oks = compute_oks(preds, gts, vis, areas, sigmas)
+    oks = oks[~np.isnan(oks)]
+    if oks.size == 0:
+        return {'AP': 0.0, 'AP50': 0.0, 'AP75': 0.0, 'mean_oks': 0.0}
+    thrs = np.arange(0.50, 0.951, 0.05)
+    recalls = [(oks >= t).mean() for t in thrs]
+    return {
+        'AP': float(np.mean(recalls)),
+        'AP50': float((oks >= 0.50).mean()),
+        'AP75': float((oks >= 0.75).mean()),
+        'mean_oks': float(oks.mean()),
+    }
+
+
+def instance_areas_from_scales(scales: np.ndarray,
+                               pixel_std: float = 200.0,
+                               scale_expand: float = 1.25) -> np.ndarray:
+    """Approximate instance area from the (expanded) crop scale: the
+    dataset stored scale = 1.25 * box/200, so box area =
+    (s*200/1.25)_w * (s*200/1.25)_h."""
+    scales = np.asarray(scales, np.float64)
+    if scales.ndim == 1:
+        scales = np.stack([scales, scales], -1)
+    side = scales * pixel_std / scale_expand
+    return side[:, 0] * side[:, 1]

@@ -21,6 +21,9 @@ _SKELETON = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8),
              (8, 9), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
 
 
+_FLIP_PAIRS = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
+
+
 def _make_sample(idx: int, res: int, n_joints: int):
     rng = np.random.RandomState(10_000 + idx)
     img = (rng.uniform(0, 60, size=(res, res, 3))).astype(np.float32)
@@ -29,14 +32,29 @@ def _make_sample(idx: int, res: int, n_joints: int):
     joints = base.astype(np.float32)
     vis = (rng.uniform(size=(n_joints,)) > 0.1).astype(np.float32)
 
+    # Flip-consistent labels: paired joints look identical (like real
+    # left/right body parts), and the lower-indexed member is always the
+    # image-left one — so horizontal flip + pair swap (the training
+    # augmentation) yields *consistent* supervision.
+    color_group = np.arange(n_joints)
+    for a, b in _FLIP_PAIRS:
+        if a < n_joints and b < n_joints:
+            color_group[b] = color_group[a]
+            if joints[a, 0] > joints[b, 0]:
+                joints[[a, b]] = joints[[b, a]]
+                vis[[a, b]] = vis[[b, a]]
+
     ys, xs = np.mgrid[0:res, 0:res].astype(np.float32)
     for j in range(n_joints):
         if vis[j] == 0:
             continue
         cx, cy = joints[j]
+        g = color_group[j]
         blob = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * 9.0))
-        color = np.array([80 + 10 * (j % 3), 120 + 7 * (j % 5), 160 + 5 * (j % 7)],
-                         np.float32)
+        # widely separated palette so joint identity is visually clean
+        color = np.array([40 + 215 * ((g * 37) % 7) / 6.0,
+                          40 + 215 * ((g * 53) % 11) / 10.0,
+                          40 + 215 * ((g * 29) % 13) / 12.0], np.float32)
         img += blob[..., None] * color
     for a, b in _SKELETON:
         if a < n_joints and b < n_joints and vis[a] > 0 and vis[b] > 0:

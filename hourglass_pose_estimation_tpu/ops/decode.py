@@ -42,33 +42,96 @@ def _gather_bj(hm, ys, xs):
     return jax.vmap(lambda m, yy, xx, jj: m[yy, xx, jj])(hm, ys, xs, j)
 
 
-@jax.jit
-def decode_quarter_offset(heatmaps, centers, scales):
+# -- gather-free stencil extraction ------------------------------------
+# Reading a handful of neighbours around each per-joint argmax is the
+# expensive part of decoding on TPU if done with gathers (~300us for a
+# 64-batch; the argmax itself is ~20us). Instead: build the shifted/
+# derivative map once as elementwise ops and reduce it against the
+# argmax one-hot — pure VPU traffic, no scatter/gather.
+
+def _shift2d(hm, dy, dx):
+    """shifted[y, x] = hm[y+dy, x+dx], zero outside. hm: [B, H, W, J]."""
+    B, H, W, J = hm.shape
+    p = 3
+    padded = jnp.pad(hm, ((0, 0), (p, p), (p, p), (0, 0)))
+    return padded[:, p + dy:p + dy + H, p + dx:p + dx + W, :]
+
+
+def _argmax_onehot(heatmaps):
+    """One-hot of the row-major-first per-joint argmax: [B, H, W, J] bool."""
+    B, H, W, J = heatmaps.shape
+    flat = heatmaps.reshape(B, H * W, J)
+    idx = jnp.argmax(flat, axis=1)                       # [B, J]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    lin = (ys * W + xs)[None, :, :, None]
+    return lin == idx[:, None, None, :]
+
+
+def _at_peak(maps, onehot):
+    """Evaluate each [B, H, W, J] map at the argmax -> [B, J]."""
+    return jnp.sum(jnp.where(onehot, maps, 0.0), axis=(1, 2))
+
+
+def get_preds_zero_based(heatmaps):
+    """Clean 0-based per-joint argmax: [B, H, W, J] -> ([B, J, 2], [B, J])."""
+    B, H, W, J = heatmaps.shape
+    flat = heatmaps.reshape(B, H * W, J)
+    idx = jnp.argmax(flat, axis=1)
+    maxvals = jnp.max(flat, axis=1)
+    coords = jnp.stack([(idx % W).astype(jnp.float32),
+                        jnp.floor_divide(idx, W).astype(jnp.float32)], -1)
+    return coords, maxvals
+
+
+@functools.partial(jax.jit, static_argnames=("zero_based",))
+def decode_quarter_offset(heatmaps, centers, scales, zero_based: bool = False):
     """Argmax + quarter-pixel offset decode, batched.
 
     Args:
       heatmaps: [B, H, W, J] last-stack heatmaps.
       centers:  [B, 2] person-box centers (source-image pixels).
       scales:   [B] or [B, 2] person scales (units of 200 px).
+      zero_based: False reproduces the reference exactly — coords stay in
+        get_preds' 1-based space through the inverse affine
+        (`/root/reference/src/utils/inference.py:48-67`), which carries a
+        systematic +1-heatmap-pixel offset into image space. True uses
+        correct 0-based peak coordinates (deliberate fix; use for
+        dataset-official metrics like PCKh / OKS).
 
     Returns:
       preds: [B, J, 2] keypoints in source-image pixels.
       maxvals: [B, J] peak activations.
-
-    Parity: `/root/reference/src/utils/inference.py:48-67` — coords stay
-    in get_preds' 1-based space through the inverse affine, exactly as
-    the reference does.
     """
     B, H, W, J = heatmaps.shape
-    coords, maxvals = get_preds(heatmaps)                # [B, J, 2], 1-based
-    px = jnp.floor(coords[..., 0] + 0.5).astype(jnp.int32)
-    py = jnp.floor(coords[..., 1] + 0.5).astype(jnp.int32)
-    ok = (px > 1) & (px < W - 1) & (py > 1) & (py < H - 1)
+    heatmaps = jnp.asarray(heatmaps, jnp.float32)
+    # Gather-free neighbour reads: shifted maps reduced at the argmax
+    # one-hot. NOTE the reference's "1-based" coords from get_preds are
+    # (x̂, ŷ+1) — x stays 0-based while y gains 1 (evaluation.py:22-23) —
+    # so its reads hm[py-1][px] - hm[py-1][px-2] / hm[py][px-1] -
+    # hm[py-2][px-1] land on hm[ŷ][x̂] - hm[ŷ][x̂-2] and
+    # hm[ŷ+1][x̂-1] - hm[ŷ-1][x̂-1]: a lopsided stencil, reproduced
+    # bit-for-bit in parity mode. zero_based uses the centered stencil.
+    onehot = _argmax_onehot(heatmaps)
+    if zero_based:
+        gx_map = _shift2d(heatmaps, 0, 1) - _shift2d(heatmaps, 0, -1)
+        gy_map = _shift2d(heatmaps, 1, 0) - _shift2d(heatmaps, -1, 0)
+    else:
+        gx_map = heatmaps - _shift2d(heatmaps, 0, -2)
+        gy_map = _shift2d(heatmaps, 1, -1) - _shift2d(heatmaps, -1, -1)
+    gx = _at_peak(gx_map, onehot)
+    gy = _at_peak(gy_map, onehot)
 
-    # hm[py-1][px] - hm[py-1][px-2]  (x gradient at the 0-based peak)
-    gx = _gather_bj(heatmaps, py - 1, px) - _gather_bj(heatmaps, py - 1, px - 2)
-    # hm[py][px-1] - hm[py-2][px-1]  (y gradient)
-    gy = _gather_bj(heatmaps, py, px - 1) - _gather_bj(heatmaps, py - 2, px - 1)
+    if zero_based:
+        coords, maxvals = get_preds_zero_based(heatmaps)
+        px = coords[..., 0].astype(jnp.int32)
+        py = coords[..., 1].astype(jnp.int32)
+        ok = (px > 0) & (px < W - 1) & (py > 0) & (py < H - 1)
+    else:
+        coords, maxvals = get_preds(heatmaps)            # [B, J, 2], 1-based
+        px = jnp.floor(coords[..., 0] + 0.5).astype(jnp.int32)
+        py = jnp.floor(coords[..., 1] + 0.5).astype(jnp.int32)
+        ok = (px > 1) & (px < W - 1) & (py > 1) & (py < H - 1)
     offs = jnp.stack([jnp.sign(gx), jnp.sign(gy)], axis=-1) * 0.25
     coords = coords + jnp.where(ok[..., None], offs, 0.0)
 
@@ -114,15 +177,20 @@ def gaussian_blur(heatmaps, kernel: int = 11):
     return x * (orig_max / jnp.maximum(new_max, 1e-20))
 
 
-@jax.jit
-def decode_dark(heatmaps, centers, scales):
+@functools.partial(jax.jit, static_argnames=("zero_based",))
+def decode_dark(heatmaps, centers, scales, zero_based: bool = False):
     """DARK (Taylor-expansion) decode, batched.
 
-    Parity: `/root/reference/src/utils/inference.py:70-87` including the
-    reference's finite differences taken at the 1-based integer coords.
+    Parity (zero_based=False): `/root/reference/src/utils/inference.py:
+    70-87` including the reference's finite differences taken at the
+    1-based integer coords (an off-by-one vs the DARK paper).
+    zero_based=True evaluates derivatives at the true 0-based peak.
     """
     B, H, W, J = heatmaps.shape
-    coords, maxvals = get_preds(heatmaps)                # 1-based
+    if zero_based:
+        coords, maxvals = get_preds_zero_based(heatmaps)
+    else:
+        coords, maxvals = get_preds(heatmaps)            # 1-based
     hm = gaussian_blur(heatmaps, 11)
     hm = jnp.log(jnp.maximum(hm, 1e-10))
 
@@ -130,7 +198,14 @@ def decode_dark(heatmaps, centers, scales):
     py = jnp.trunc(coords[..., 1]).astype(jnp.int32)
     ok = (px > 1) & (px < W - 2) & (py > 1) & (py < H - 2)
 
-    g = lambda dy, dx: _gather_bj(hm, py + dy, px + dx)
+    # Derivatives evaluated at (py, px) = argmax + (base_y, 0): the
+    # reference's get_preds coords are (x̂, ŷ+1) — see the note in
+    # decode_quarter_offset — so parity mode reads one row below the
+    # peak (base_y=1) at the peak column; corrected mode reads the peak.
+    # Gather-free: shifted maps reduced against the argmax one-hot.
+    base_y = 0 if zero_based else 1
+    onehot = _argmax_onehot(heatmaps)
+    g = lambda dy, dx: _at_peak(_shift2d(hm, base_y + dy, dx), onehot)
     dxv = 0.5 * (g(0, 1) - g(0, -1))
     dyv = 0.5 * (g(1, 0) - g(-1, 0))
     dxx = 0.25 * (g(0, 2) - 2.0 * g(0, 0) + g(0, -2))

@@ -59,9 +59,12 @@ class Evaluator:
                                         pck_thr=cfg.common.pck,
                                         device_pipeline=dc.device_pipeline)
 
-        self._decode = (decode_dark if cfg.eval.decode == 'dark'
-                        else decode_quarter_offset)
-        self._fwd_flip = None
+        import functools
+        base = decode_dark if cfg.eval.decode == 'dark' else decode_quarter_offset
+        # dataset-official metrics use the corrected 0-based decode
+        # (the reference's 1-based space is kept only for its own
+        # heatmap-PCK metric, where it cancels)
+        self._decode = functools.partial(base, zero_based=True)
 
     def evaluate(self, state) -> Tuple[float, float]:
         """Averaged (val_loss, heatmap PCK) — the reference's metric."""

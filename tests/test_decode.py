@@ -90,6 +90,61 @@ def test_gaussian_blur_matches_cv2(rng):
             np.testing.assert_allclose(ours[b, :, :, j], ref, rtol=1e-4, atol=1e-5)
 
 
+def _oracle_taylor(hm2d, coord):
+    """Reference taylor() semantics (inference.py:9-28) for one joint."""
+    H, W = hm2d.shape
+    px, py = int(coord[0]), int(coord[1])
+    out = coord.astype(np.float64).copy()
+    if 1 < px < W - 2 and 1 < py < H - 2:
+        dx = 0.5 * (hm2d[py][px + 1] - hm2d[py][px - 1])
+        dy = 0.5 * (hm2d[py + 1][px] - hm2d[py - 1][px])
+        dxx = 0.25 * (hm2d[py][px + 2] - 2 * hm2d[py][px] + hm2d[py][px - 2])
+        dxy = 0.25 * (hm2d[py + 1][px + 1] - hm2d[py - 1][px + 1]
+                      - hm2d[py + 1][px - 1] + hm2d[py - 1][px - 1])
+        dyy = 0.25 * (hm2d[py + 2][px] - 2 * hm2d[py][px] + hm2d[py - 2][px])
+        det = dxx * dyy - dxy ** 2
+        if det != 0:
+            inv = np.linalg.inv(np.array([[dxx, dxy], [dxy, dyy]]))
+            out += -(inv @ np.array([dx, dy]))
+    return out
+
+
+def _oracle_dark(hms_nchw, center, scale):
+    """get_final_preds_v2 semantics for one sample (inference.py:70-87)."""
+    from tests.test_evaluation import _torch_get_preds
+    coords = _torch_get_preds(hms_nchw)[0].numpy().astype(np.float64)
+    hms = hms_nchw.numpy().copy()
+    kernel, border = 11, 5
+    B, J, H, W = hms.shape
+    for i in range(B):
+        for j in range(J):
+            omax = hms[i, j].max()
+            dr = np.zeros((H + 2 * border, W + 2 * border))
+            dr[border:-border, border:-border] = hms[i, j]
+            dr = cv2.GaussianBlur(dr, (kernel, kernel), 0)
+            hms[i, j] = dr[border:-border, border:-border]
+            hms[i, j] *= omax / hms[i, j].max()
+    hms = np.log(np.maximum(hms, 1e-10))
+    for p in range(coords.shape[0]):
+        coords[p] = _oracle_taylor(hms[0][p], coords[p])
+    trans = get_affine_transform(center, scale, 0, (W, H), inv=True)
+    return np.stack([affine_transform(c, trans) for c in coords])
+
+
+def test_dark_decode_parity(rng):
+    B, J, H, W = 3, 16, 64, 64
+    hm = _rand_peaky_heatmaps(rng, B, J, H, W)
+    centers = rng.uniform(100, 200, size=(B, 2)).astype(np.float32)
+    scales = rng.uniform(0.8, 2.0, size=(B,)).astype(np.float32)
+    preds, _ = D.decode_dark(hm, centers, scales)
+    preds = np.asarray(preds)
+    for b in range(B):
+        oracle = _oracle_dark(
+            torch.from_numpy(hm[b:b + 1].transpose(0, 3, 1, 2)),
+            centers[b], scales[b])
+        np.testing.assert_allclose(preds[b], oracle, rtol=1e-2, atol=0.1)
+
+
 def test_dark_decode_runs_and_refines(rng):
     B, J, H, W = 3, 16, 64, 64
     hm = _rand_peaky_heatmaps(rng, B, J, H, W)

@@ -1,0 +1,65 @@
+"""Pallas kernels vs their pure-XLA oracles (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hourglass_pose_estimation_tpu.ops.heatmap import render_gaussian_targets
+from hourglass_pose_estimation_tpu.ops.decode import get_preds_zero_based
+from hourglass_pose_estimation_tpu.ops.pallas import (
+    render_gaussian_targets_pallas, decode_peaks_pallas, upsample2x_add_pallas)
+from hourglass_pose_estimation_tpu.models.modules import upsample2x_nearest
+
+
+def test_render_kernel_matches_xla(rng):
+    B, J = 4, 16
+    joints = rng.uniform(-50, 300, size=(B, J, 2)).astype(np.float32)
+    vis = (rng.uniform(size=(B, J)) > 0.2).astype(np.float32)
+    kw = dict(heatmap_size=(64, 64), image_size=(256, 256), sigma=2)
+    t0, w0 = render_gaussian_targets(joints, vis, **kw)
+    t1, w1 = render_gaussian_targets_pallas(joints, vis, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-6)
+
+
+def test_decode_kernel_matches_xla(rng):
+    B, J, H, W = 3, 17, 64, 64
+    hm = rng.uniform(0, 1, size=(B, H, W, J)).astype(np.float32)
+    coords, maxv = decode_peaks_pallas(hm, interpret=True)
+    ref_coords, ref_maxv = get_preds_zero_based(jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(maxv), np.asarray(ref_maxv),
+                               atol=1e-6)
+    # integer parts must agree; kernel adds the quarter offset
+    ci = np.floor(np.asarray(coords) + 0.5)  # reverse ±0.25 to the peak
+    np.testing.assert_allclose(ci, np.asarray(ref_coords), atol=0)
+
+
+def test_decode_kernel_quarter_offset(rng):
+    # single clean peak with a known gradient direction
+    hm = np.zeros((1, 16, 16, 1), np.float32)
+    hm[0, 8, 8, 0] = 1.0
+    hm[0, 8, 9, 0] = 0.5     # right neighbour bigger than left -> +0.25
+    hm[0, 7, 8, 0] = 0.3     # top bigger than bottom -> -0.25
+    coords, _ = decode_peaks_pallas(hm, interpret=True)
+    np.testing.assert_allclose(np.asarray(coords)[0, 0], [8.25, 7.75])
+
+
+def test_upsample_add_matches_and_grads(rng):
+    B, H, W, C = 2, 8, 8, 128
+    low = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    skip = rng.normal(size=(B, 2 * H, 2 * W, C)).astype(np.float32)
+
+    out = upsample2x_add_pallas(jnp.asarray(low), jnp.asarray(skip), True)
+    ref = upsample2x_nearest(jnp.asarray(low)) + skip
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def f_pallas(l, s):
+        return jnp.sum(jnp.sin(upsample2x_add_pallas(l, s, True)))
+
+    def f_ref(l, s):
+        return jnp.sum(jnp.sin(upsample2x_nearest(l) + s))
+
+    gl, gs = jax.grad(f_pallas, argnums=(0, 1))(jnp.asarray(low), jnp.asarray(skip))
+    rl, rs = jax.grad(f_ref, argnums=(0, 1))(jnp.asarray(low), jnp.asarray(skip))
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=1e-5, atol=1e-6)
