@@ -1,0 +1,105 @@
+"""Tests for the offline tools (hands extraction, Kinect conversion,
+bbox labeling) on fabricated inputs."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import cv2
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+import extract_hands
+import kinect2_to_coco
+import generate_bbox
+
+
+def test_extract_hands(tmp_path):
+    lh = []
+    rh = []
+    for i in range(21):
+        lh += [10.0 + i, 20.0 + i, 2]
+        rh += [110.0 + i, 120.0 + i, 2]
+    src = {
+        'images': [{'id': 1, 'width': 640, 'height': 480,
+                    'file_name': 'x.jpg'},
+                   {'id': 2, 'width': 640, 'height': 480,
+                    'file_name': 'y.jpg'}],
+        'annotations': [
+            {'id': 10, 'image_id': 1, 'bbox': [0, 0, 100, 100], 'area': 100,
+             'lefthand_valid': True, 'righthand_valid': True,
+             'lefthand_kpts': lh, 'righthand_kpts': rh},
+            {'id': 11, 'image_id': 2, 'bbox': [0, 0, 100, 100], 'area': 100,
+             'lefthand_valid': False, 'righthand_valid': True,
+             'lefthand_kpts': lh, 'righthand_kpts': rh},
+        ],
+    }
+    src_path = tmp_path / 'wb.json'
+    out_path = tmp_path / 'hands.json'
+    with open(src_path, 'w') as fp:
+        json.dump(src, fp)
+    out = extract_hands.extract(str(src_path), str(out_path))
+    assert len(out['annotations']) == 1          # invalid-left filtered
+    ann = out['annotations'][0]
+    assert len(ann['keypoints']) == 22 * 3
+    # first kept left kpt is wrist (index 0)
+    assert ann['keypoints'][0:2] == [10.0, 20.0]
+    # loads back through the hands dataset joint count
+    from hourglass_pose_estimation_tpu.data.coco_json import load_coco_keypoints
+    d = load_coco_keypoints(str(out_path), 22)
+    assert d['joints'].shape == (1, 22, 2)
+
+
+def test_kinect_convert(tmp_path):
+    joints = [[0.0, 0.0, 0]] * 25
+    for kin in kinect2_to_coco.KINECT_TO_COCO:
+        joints[kin] = [100.0 + kin, 200.0 + kin, 2]
+    rec = [{'frame': f'f{i:03d}.jpg',
+            'bodies': [{'joints': joints}]} for i in range(20)]
+    in_dir = tmp_path / 'rec'
+    in_dir.mkdir()
+    with open(in_dir / 'video0.json', 'w') as fp:
+        json.dump(rec, fp)
+    kinect2_to_coco.convert(str(in_dir), str(tmp_path / 'out'), test_frac=0.2)
+    with open(tmp_path / 'out_train.json') as fp:
+        train = json.load(fp)
+    with open(tmp_path / 'out_test.json') as fp:
+        test = json.load(fp)
+    assert len(train['images']) + len(test['images']) == 20
+    assert len(test['images']) >= 2
+    ann = train['annotations'][0]
+    assert len(ann['keypoints']) == 51
+    assert ann['bbox'][2] > 0 and ann['bbox'][3] > 0
+    # nose comes from Kinect Head (index 3)
+    assert ann['keypoints'][0] == 103.0
+
+
+def test_generate_bbox_label_and_check(tmp_path):
+    img_dir = tmp_path / 'imgs'
+    xml_dir = tmp_path / 'xmls'
+    img_dir.mkdir()
+    for name in ('a.jpg', 'b.jpg'):
+        cv2.imwrite(str(img_dir / name),
+                    np.zeros((120, 160, 3), np.uint8))
+    generate_bbox.label(str(img_dir), str(xml_dir))
+    xmls = sorted(os.listdir(xml_dir))
+    assert xmls == ['a.xml', 'b.xml']
+    # orphan check
+    os.remove(img_dir / 'b.jpg')
+    orphans = generate_bbox.check(str(img_dir), str(xml_dir), delete=True)
+    assert len(orphans) == 1
+    assert sorted(os.listdir(xml_dir)) == ['a.xml']
+
+
+def test_inference_wrappers(rng):
+    """utils.inference reference-shaped wrappers accept NCHW layout."""
+    from hourglass_pose_estimation_tpu.utils.inference import (
+        get_final_preds_v1, gaussian_blur)
+    hm = rng.uniform(0, 1, size=(2, 16, 64, 64)).astype(np.float32)  # NCHW
+    preds = get_final_preds_v1(hm, center=[128, 128], scale=1.28)
+    assert preds.shape == (2, 16, 2)
+    blurred = gaussian_blur(hm.copy())
+    assert blurred.shape == hm.shape
+    np.testing.assert_allclose(blurred.max(axis=(2, 3)), hm.max(axis=(2, 3)),
+                               rtol=1e-4)

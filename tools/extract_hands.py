@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Extract a 22-keypoint two-hand dataset from COCO-WholeBody json.
+
+TPU-framework analogue of `/root/reference/tools/extract_full_coco.py:
+5-63`: filters annotations with valid left+right hand keypoints and
+keeps 11 keypoints per hand (wrist + 2 per finger), producing a
+COCO-format keypoints json consumable by the `hands` dataset class.
+
+Usage:
+    python tools/extract_hands.py <wholebody.json> <out.json> [--min-vis 6]
+"""
+
+import argparse
+import json
+import sys
+
+# 21-kpt hand: keep wrist + [tip, middle] of each finger (11 kpts),
+# matching the reference's per-hand selection.
+HAND_KEEP = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20]
+
+
+def extract(wholebody_path: str, out_path: str, min_vis: int = 6) -> dict:
+    with open(wholebody_path) as fp:
+        src = json.load(fp)
+
+    out_annotations = []
+    kept_images = set()
+    for ann in src.get('annotations', []):
+        lh = ann.get('lefthand_kpts') or []
+        rh = ann.get('righthand_kpts') or []
+        if (not ann.get('lefthand_valid') or not ann.get('righthand_valid')
+                or len(lh) < 63 or len(rh) < 63):
+            continue
+        kps = []
+        n_vis = 0
+        for hand in (lh, rh):
+            for i in HAND_KEEP:
+                x, y, v = hand[i * 3:i * 3 + 3]
+                v = 1 if v > 0 else 0
+                n_vis += v
+                kps += [x, y, v]
+        if n_vis < min_vis:
+            continue
+        out_annotations.append({
+            'id': ann['id'],
+            'image_id': ann['image_id'],
+            'iscrowd': 0,
+            'area': ann.get('area', 1),
+            'bbox': ann['bbox'],
+            'keypoints': kps,
+            'category_id': 1,
+        })
+        kept_images.add(ann['image_id'])
+
+    out = {
+        'images': [im for im in src.get('images', [])
+                   if im['id'] in kept_images],
+        'annotations': out_annotations,
+        'categories': [{'id': 1, 'name': 'hands',
+                        'keypoints': [f'l{i}' for i in range(11)]
+                        + [f'r{i}' for i in range(11)]}],
+    }
+    with open(out_path, 'w') as fp:
+        json.dump(out, fp)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('wholebody_json')
+    p.add_argument('out_json')
+    p.add_argument('--min-vis', type=int, default=6)
+    args = p.parse_args(argv)
+    out = extract(args.wholebody_json, args.out_json, args.min_vis)
+    print(f"wrote {args.out_json}: {len(out['annotations'])} annotations, "
+          f"{len(out['images'])} images")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

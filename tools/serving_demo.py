@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Deployment demos for exported models (sync + async double-buffered).
+
+TPU-framework analogue of the reference's OpenVINO visualizer tools
+(`/root/reference/tools/openvino_visualizer/{sync,async}_inference.py`):
+consume an exported StableHLO artifact (scripts/export.py), run timed
+single-image inference with optional per-op profiling, or a
+double-buffered pipelined loop over a directory of frames that overlaps
+host preprocessing with device execution (the analogue of the
+reference's two ping-ponged OpenVINO infer requests).
+
+Usage:
+    python tools/serving_demo.py sync  <model.stablehlo> <image> [--iters 50] [--profile <dir>]
+    python tools/serving_demo.py async <model.stablehlo> <frame_dir> <out_dir>
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def _load(model_path):
+    from hourglass_pose_estimation_tpu.export import load_stablehlo
+    return load_stablehlo(model_path)
+
+
+def _prep(image_path, res, mean, std):
+    import cv2
+    frame = cv2.imread(image_path)
+    if frame is None:
+        raise FileNotFoundError(image_path)
+    x = frame.astype(np.float32) / 255.0
+    x = (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    x = cv2.resize(x, (res, res))
+    return frame, x[None]
+
+
+def _decode_draw(frame, heatmaps):
+    import cv2
+    from hourglass_pose_estimation_tpu.ops.decode import decode_simple_argmax
+    h, w = frame.shape[:2]
+    kps, maxv = decode_simple_argmax(heatmaps, (256, 256), (w, h))
+    kps = np.asarray(kps)[0]
+    for x, y in kps:
+        if x or y:
+            cv2.circle(frame, (int(x), int(y)), 5, (0, 0, 255), -1)
+    return frame
+
+
+def run_sync(args):
+    import jax
+    from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+    fn = _load(args.model)
+    mean, std = get_meanstd(args.dataset)
+    frame, x = _prep(args.image, args.res, mean, std)
+
+    out = jax.block_until_ready(fn(x))  # warm-up / compile
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            jax.block_until_ready(fn(x))
+        print(f'profile written to {args.profile}')
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(x))
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts) * 1000
+    print(f'avg {ts.mean():.3f} ms | median {np.median(ts):.3f} ms | '
+          f'min {ts.min():.3f} ms over {args.iters} iters')
+    out_img = _decode_draw(frame, np.asarray(out))
+    if args.out:
+        import cv2
+        cv2.imwrite(args.out, out_img)
+        print(f'wrote {args.out}')
+    return 0
+
+
+def run_async(args):
+    """Double-buffered loop: while the device runs frame i, the host
+    preprocesses frame i+1 (jax dispatch is async — no callbacks
+    needed; not calling block_until_ready until the next frame is
+    submitted gives the overlap)."""
+    import jax
+    from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+    import cv2
+
+    fn = _load(args.model)
+    mean, std = get_meanstd(args.dataset)
+    frames = sorted(glob.glob(os.path.join(args.frame_dir, '*')))
+    if not frames:
+        raise FileNotFoundError(f'no frames in {args.frame_dir}')
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    t_start = time.perf_counter()
+    prev = None                                    # (path, frame, pending out)
+    n = 0
+    for path in frames:
+        frame, x = _prep(path, args.res, mean, std)
+        pending = fn(x)                            # dispatched, not awaited
+        if prev is not None:
+            p_path, p_frame, p_out = prev
+            img = _decode_draw(p_frame, np.asarray(p_out))  # syncs p_out
+            cv2.imwrite(os.path.join(args.out_dir,
+                                     os.path.basename(p_path)), img)
+            n += 1
+        prev = (path, frame, pending)
+    p_path, p_frame, p_out = prev
+    img = _decode_draw(p_frame, np.asarray(p_out))
+    cv2.imwrite(os.path.join(args.out_dir, os.path.basename(p_path)), img)
+    n += 1
+    dt = time.perf_counter() - t_start
+    print(f'{n} frames in {dt:.2f}s = {n / dt:.1f} FPS (pipelined)')
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest='mode', required=True)
+    ps = sub.add_parser('sync')
+    ps.add_argument('model')
+    ps.add_argument('image')
+    ps.add_argument('--iters', type=int, default=50)
+    ps.add_argument('--res', type=int, default=256)
+    ps.add_argument('--dataset', default='mscoco')
+    ps.add_argument('--profile', default='')
+    ps.add_argument('--out', default='')
+    pa = sub.add_parser('async')
+    pa.add_argument('model')
+    pa.add_argument('frame_dir')
+    pa.add_argument('out_dir')
+    pa.add_argument('--res', type=int, default=256)
+    pa.add_argument('--dataset', default='mscoco')
+    args = p.parse_args(argv)
+    return run_sync(args) if args.mode == 'sync' else run_async(args)
+
+
+if __name__ == '__main__':
+    sys.exit(main())
