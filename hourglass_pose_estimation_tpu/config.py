@@ -109,6 +109,7 @@ class CommonConfig:
     evaluate_only: bool = False
     pck: float = 0.5
     seed: int = 0
+    summary: bool = False      # print a flax tabulate table at build
     # inference-only keys (estimate.py surface)
     image_path: str = ''
     dest_path: str = ''

@@ -79,6 +79,15 @@ class Trainer:
 
         self.mesh = make_mesh(tc.data_parallel, tc.model_parallel)
         self.state = self._init_state()
+        if self.verbose:
+            from hourglass_pose_estimation_tpu.utils.summary import (
+                count_params, summarize)
+            self._log(f"==> model '{mc.arch}', stacks={mc.num_stacks}, "
+                      f"params={count_params(self.state.params):,}, "
+                      f"mesh={dict(self.mesh.shape)}")
+            if cfg.common.summary:
+                self._log(summarize(self.model,
+                                    (1, dc.inp_res, dc.inp_res, 3)))
         self.start_epoch = 0
         self.best_acc = 0.0
 
@@ -123,28 +132,46 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, rng):
+        from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
         loss_m, acc_m = AverageMeter(), AverageMeter()
         batches = self.train_loader.epoch_indices()[:self.steps_per_epoch]
         t0 = time.time()
         n_img = 0
-        for i, (idx, _valid) in enumerate(batches):
-            raw = self.train_ds.canvas_batch(idx, canvas=self.canvas)
+        # stage the next batch's host assembly while the device runs the
+        # current step (the H2D transfer stays on the main thread — the
+        # axon PJRT plugin deadlocks on multi-threaded device_put);
+        # metrics are fetched one step late so the host never blocks on
+        # the step it just dispatched
+        prefetch = Prefetcher(
+            batches,
+            lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))
+        pending = None                                   # (metrics, bs)
+        for raw, (idx, _valid) in prefetch:
             raw = self._put_batch(raw)
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.train_step(self.state, raw, sub)
-            bs = len(idx)
-            n_img += bs
-            loss_m.update(float(metrics['loss']), bs)
-            acc_m.update(float(metrics['acc']), bs)
+            if pending is not None:
+                m, bs = pending
+                loss_m.update(float(m['loss']), bs)
+                acc_m.update(float(m['acc']), bs)
+            pending = (metrics, len(idx))
+            n_img += len(idx)
+        if pending is not None:
+            m, bs = pending
+            loss_m.update(float(m['loss']), bs)
+            acc_m.update(float(m['acc']), bs)
         dt = time.time() - t0
         self._log(f'  train: loss {loss_m.avg:.5f} | pck {acc_m.avg:.4f} | '
                   f'{n_img / dt:.1f} img/s')
         return loss_m.avg, acc_m.avg
 
     def _evaluate(self):
+        from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
         loss_m, acc_m = AverageMeter(), AverageMeter()
-        for idx, valid in self.val_loader.epoch_indices():
-            raw = self.val_ds.canvas_batch(idx, canvas=self.canvas)
+        prefetch = Prefetcher(
+            self.val_loader.epoch_indices(),
+            lambda b: self.val_ds.canvas_batch(b[0], canvas=self.canvas))
+        for raw, (idx, valid) in prefetch:
             raw = self._put_batch(raw)
             m = self.eval_step(self.state, raw, jnp.asarray(valid))
             n = int(m['n'])
