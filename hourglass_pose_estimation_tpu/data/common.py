@@ -56,6 +56,7 @@ class PoseDataset:
     name: str = 'base'
     n_joints: int = 0
     flip_pairs: Sequence[Sequence[int]] = ()
+    pixel_std: float = PIXEL_STD
 
     def __init__(self, is_train: bool, *, inp_res=256, out_res=64, sigma=1,
                  scale_factor=0.25, rot_factor=30, **_unused):
@@ -86,6 +87,54 @@ class PoseDataset:
 
     def __len__(self):
         return len(self.records)
+
+    # -- data selection / statistics ------------------------------------
+    def select_data(self) -> np.ndarray:
+        """OKS-like quality filter over records; returns kept indices.
+
+        Parity: `/root/reference/src/datasets/common.py:166-195` (there
+        written per-record and commented out at every call site; here a
+        vectorized, actually usable method): keep instances whose
+        visible-joint centroid is close to the box center relative to
+        the box area — ks = exp(-d^2 / (0.2^2 * 2 * area)) above a
+        visibility-dependent threshold.
+        """
+        r = self.records
+        vis = r.vis > 0
+        num_vis = vis.sum(axis=1)
+        safe = np.maximum(num_vis, 1)[:, None]
+        centroid = (r.joints * vis[..., None]).sum(axis=1) / safe
+        area = r.scales[:, 0] * r.scales[:, 1] * (self.pixel_std ** 2)
+        d2 = ((centroid - r.centers) ** 2).sum(axis=1)
+        ks = np.exp(-d2 / (0.2 ** 2 * 2.0 * np.maximum(area, 1e-6)))
+        metric = (0.2 / 16) * num_vis + 0.45 - 0.2 / 16
+        keep = (num_vis > 0) & (ks > metric)
+        return np.nonzero(keep)[0]
+
+    def apply_selection(self, idxs: np.ndarray) -> None:
+        """Restrict records to `idxs` in place."""
+        r = self.records
+        self.records = PoseRecords(
+            centers=r.centers[idxs], scales=r.scales[idxs],
+            joints=r.joints[idxs], vis=r.vis[idxs], widths=r.widths[idxs],
+            image_paths=([r.image_paths[i] for i in idxs]
+                         if r.image_paths is not None else None),
+            images=r.images[idxs] if r.images is not None else None)
+
+    def compute_meanstd(self, max_samples: int = 512):
+        """Channel mean/std over the dataset's images in [0, 1] BGR.
+
+        Parity: `_compute_mean` (common.py:66-91) — per-image channel
+        mean/std averaged over images (not pooled-pixel statistics).
+        """
+        n = min(len(self), max_samples)
+        means, stds = [], []
+        for i in range(n):
+            img = self._read_image(i).astype(np.float64) / 255.0
+            flat = img.reshape(-1, 3)
+            means.append(flat.mean(axis=0))
+            stds.append(flat.std(axis=0, ddof=1))
+        return (tuple(np.mean(means, axis=0)), tuple(np.mean(stds, axis=0)))
 
     # -- flip-pair permutation (static, used by the device pipeline) ---
     def flip_permutation(self) -> np.ndarray:
@@ -155,6 +204,11 @@ class PoseDataset:
         Each source image is scaled by q = canvas/max(H, W) (bilinear)
         and zero-padded bottom/right. The device pipeline composes q (and
         the train-time flip) into the crop affine.
+
+        JPEG files on disk take the native C++ loader (decode + resize +
+        pad with an internal thread pool, data/native.py); anything else
+        — in-memory datasets, other formats, native-decode failures —
+        uses the cv2 path per slot.
         """
         import cv2
         r = self.records
@@ -162,7 +216,27 @@ class PoseDataset:
         out = np.zeros((B, canvas, canvas, 3), np.uint8)
         qs = np.zeros((B,), np.float32)
         widths = r.widths[idxs].astype(np.float32).copy()
+        done = np.zeros((B,), bool)
+
+        if r.images is None and r.image_paths is not None:
+            jpeg_slots = [k for k, i in enumerate(idxs)
+                          if r.image_paths[i].lower().endswith(('.jpg', '.jpeg'))]
+            if jpeg_slots:
+                from hourglass_pose_estimation_tpu.data import native
+                res = native.load_canvas_batch(
+                    [r.image_paths[idxs[k]] for k in jpeg_slots], canvas)
+                if res is not None:
+                    imgs, scales, ws, ok = res
+                    for j, k in enumerate(jpeg_slots):
+                        if ok[j]:
+                            out[k] = imgs[j]
+                            qs[k] = scales[j]
+                            widths[k] = ws[j]
+                            done[k] = True
+
         for k, i in enumerate(idxs):
+            if done[k]:
+                continue
             img = self._read_image(i)
             h, w = img.shape[:2]
             widths[k] = float(w)  # datasets may defer widths (e.g. MPII)

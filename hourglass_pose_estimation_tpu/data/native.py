@@ -1,0 +1,99 @@
+"""ctypes binding for the native host loader (native/hostloader.cpp).
+
+Builds on first use (g++, cached .so next to the source) and exposes
+`load_canvas_batch(paths, canvas, threads)`; callers fall back to the
+cv2 path when the toolchain or libjpeg is unavailable, or for non-JPEG
+files (the native decoder only handles JPEG — the dominant format for
+MPII/COCO).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           '..', '..', 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libhostloader.so')
+_lock = threading.Lock()
+_lib = None
+_unavailable = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, 'hostloader.cpp')
+    if not os.path.isfile(src):
+        return False
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-fPIC', '-shared', '-std=c++17',
+             '-o', _LIB_PATH, src, '-ljpeg', '-lpthread'],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library, or None if unavailable."""
+    global _lib, _unavailable
+    with _lock:
+        if _lib is not None or _unavailable:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) and not _build():
+            _unavailable = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _unavailable = True
+            return None
+        lib.hl_load_canvas_batch.restype = ctypes.c_int
+        lib.hl_load_canvas_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_canvas_batch(paths: List[str], canvas: int, threads: int = 0
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]]:
+    """Decode+resize+pad a batch of JPEGs natively.
+
+    Returns (canvases [N,c,c,3] u8, canvas_scale [N], widths [N],
+    ok_mask [N] bool) or None if the library is unavailable. Failed
+    decodes have scale 0 (caller falls back per-slot).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.zeros((n, canvas, canvas, 3), np.uint8)
+    scales = np.zeros((n,), np.float32)
+    widths = np.zeros((n,), np.float32)
+    heights = np.zeros((n,), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    lib.hl_load_canvas_batch(
+        arr, n, canvas, threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        heights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out, scales, widths, scales > 0

@@ -121,7 +121,8 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     row1 = jnp.stack([q * d, q * e, q * f], axis=-1)
     inv_canvas = jnp.stack([row0, row1], axis=1)          # [B, 2, 3]
 
-    imgs = affine_warp(canvas.astype(jnp.float32), inv_canvas, (R, R))
+    # uint8 canvases hit the packed-byte gather fast path in affine_warp
+    imgs = affine_warp(canvas, inv_canvas, (R, R))
     mean = jnp.asarray(spec.mean, jnp.float32)
     std = jnp.asarray(spec.std, jnp.float32)
     imgs = (imgs / 255.0 - mean) / std

@@ -35,6 +35,9 @@ class HourglassNet(nn.Module):
     skip_mode: str = 'sum'
     num_feats: int = 128
     dtype: Any = jnp.bfloat16
+    # dtype of the stacked heatmap outputs; the loss upcasts to f32, so
+    # bf16 here halves the traffic of the [S, B, H, W, J] stack
+    out_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,7 +76,7 @@ class HourglassNet(nn.Module):
                              name=f'fc_bn{i}')(y)
             y = nn.relu(y).astype(dt)
             score = conv1x1(self.num_classes, f'score{i}')(y)
-            outs.append(score.astype(jnp.float32))
+            outs.append(score.astype(self.out_dtype))
             if i < self.num_stacks - 1:
                 fc_b = conv1x1(ch, f'fc_back{i}')(y)
                 score_b = conv1x1(ch, f'score_back{i}')(score)

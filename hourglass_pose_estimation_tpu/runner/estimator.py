@@ -101,14 +101,19 @@ class Estimator:
 
     # -- inference ------------------------------------------------------
     def run(self, frame: np.ndarray, time_it: bool = True):
-        """One frame -> [J, 2] int keypoints in frame coordinates."""
+        """One frame -> [J, 2] int keypoints in frame coordinates.
+
+        Timing note: the measured interval runs until the heatmaps are
+        materialized on the host (np.asarray) — on this TPU transport,
+        block_until_ready acks before execution finishes, so a plain
+        "time the forward" print would under-report.
+        """
         inp = self.preprocess(frame)
         start = time.time()
-        hms = jax.block_until_ready(self._forward(self.variables, inp))
+        hms = np.asarray(self._forward(self.variables, inp))
         if time_it:
             print(f'Inference time: {time.time() - start:.3f}s')
-        kps, _ = self.post_process_v2(np.asarray(hms),
-                                      (frame.shape[1], frame.shape[0]))
+        kps, _ = self.post_process_v2(hms, (frame.shape[1], frame.shape[0]))
         return kps[0]
 
     def run_batch(self, frames: np.ndarray):

@@ -87,6 +87,10 @@ def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
+        # Derive the per-step key on device: the host passes ONE base key
+        # for the whole epoch (a host-side jax.random.split per step is a
+        # device round-trip — it alone cost ~3x throughput on this setup).
+        rng = jax.random.fold_in(rng, state.step)
         if device_pipeline:
             data = augment_batch(batch, rng, spec, True)
             image, target, tw = data['image'], data['target'], data['target_weight']

@@ -146,10 +146,10 @@ class Trainer:
             batches,
             lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))
         pending = None                                   # (metrics, bs)
+        # one key per epoch; the step folds in state.step on device
         for raw, (idx, _valid) in prefetch:
             raw = self._put_batch(raw)
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self.train_step(self.state, raw, sub)
+            self.state, metrics = self.train_step(self.state, raw, rng)
             if pending is not None:
                 m, bs = pending
                 loss_m.update(float(m['loss']), bs)

@@ -1,0 +1,179 @@
+// Native host-side image loader for the TPU input pipeline.
+//
+// The reference offloads per-sample image work to forked torch
+// DataLoader workers (Python + cv2). Here the host hot path — JPEG
+// decode, bilinear resize to the canvas scale, zero-padded canvas
+// assembly (BGR, matching cv2.imread) — is a small C++ library driven
+// from Python via ctypes, with an internal thread pool so a many-core
+// production host keeps one TPU chip fed without Python in the loop.
+//
+// Exposed C ABI:
+//   int hl_load_canvas_batch(const char** paths, int n, int canvas,
+//                            int threads, unsigned char* out,
+//                            float* canvas_scale, float* widths,
+//                            float* heights);
+// Returns the number of successfully decoded images; failed slots are
+// zero-filled with canvas_scale 0 (the Python side falls back to cv2
+// for those).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <setjmp.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG file to tightly packed BGR8. Returns false on failure.
+bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels,
+                 int* width, int* height) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // swapped to BGR below (cv2 parity)
+  jpeg_start_decompress(&cinfo);
+
+  const int w = cinfo.output_width;
+  const int h = cinfo.output_height;
+  const int ch = cinfo.output_components;  // 3 for JCS_RGB
+  pixels->assign(static_cast<size_t>(w) * h * 3, 0);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * ch);
+  uint8_t* rptr = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rptr, 1);
+    uint8_t* dst = pixels->data() + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {  // RGB -> BGR
+      dst[x * 3 + 0] = row[x * ch + 2];
+      dst[x * 3 + 1] = row[x * ch + 1];
+      dst[x * 3 + 2] = row[x * ch + 0];
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(fp);
+  *width = w;
+  *height = h;
+  return true;
+}
+
+// Bilinear resize (cv2 INTER_LINEAR convention: half-pixel centers)
+// from src [h, w, 3] into dst [oh, ow, 3].
+void resize_bilinear(const uint8_t* src, int w, int h, uint8_t* dst,
+                     int ow, int oh) {
+  const float sx = static_cast<float>(w) / ow;
+  const float sy = static_cast<float>(h) / oh;
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(h - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, h - 1);
+    const float wy = fy - y0;
+    for (int x = 0; x < ow; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      fx = std::max(0.0f, std::min(fx, static_cast<float>(w - 1)));
+      const int x0 = static_cast<int>(fx);
+      const int x1 = std::min(x0 + 1, w - 1);
+      const float wx = fx - x0;
+      const uint8_t* p00 = src + (static_cast<size_t>(y0) * w + x0) * 3;
+      const uint8_t* p01 = src + (static_cast<size_t>(y0) * w + x1) * 3;
+      const uint8_t* p10 = src + (static_cast<size_t>(y1) * w + x0) * 3;
+      const uint8_t* p11 = src + (static_cast<size_t>(y1) * w + x1) * 3;
+      uint8_t* o = dst + (static_cast<size_t>(y) * ow + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float top = p00[c] * (1 - wx) + p01[c] * wx;
+        const float bot = p10[c] * (1 - wx) + p11[c] * wx;
+        o[c] = static_cast<uint8_t>(top * (1 - wy) + bot * wy + 0.5f);
+      }
+    }
+  }
+}
+
+void load_one(const char* path, int canvas, uint8_t* out_img,
+              float* scale, float* width, float* height) {
+  std::vector<uint8_t> pixels;
+  int w = 0, h = 0;
+  std::memset(out_img, 0, static_cast<size_t>(canvas) * canvas * 3);
+  *scale = 0.0f;
+  *width = 0.0f;
+  *height = 0.0f;
+  if (!decode_jpeg(path, &pixels, &w, &h) || w <= 0 || h <= 0) return;
+
+  const float q = static_cast<float>(canvas) / std::max(w, h);
+  const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
+  const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
+  std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
+  if (ow == w && oh == h) {
+    resized = pixels;
+  } else {
+    resize_bilinear(pixels.data(), w, h, resized.data(), ow, oh);
+  }
+  for (int y = 0; y < oh; ++y) {
+    std::memcpy(out_img + static_cast<size_t>(y) * canvas * 3,
+                resized.data() + static_cast<size_t>(y) * ow * 3,
+                static_cast<size_t>(ow) * 3);
+  }
+  *scale = q;
+  *width = static_cast<float>(w);
+  *height = static_cast<float>(h);
+}
+
+}  // namespace
+
+extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
+                                    int threads, unsigned char* out,
+                                    float* canvas_scale, float* widths,
+                                    float* heights) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      load_one(paths[i], canvas,
+               out + static_cast<size_t>(i) * canvas * canvas * 3,
+               canvas_scale + i, widths + i, heights + i);
+      if (canvas_scale[i] > 0.0f) ok.fetch_add(1);
+    }
+  };
+  if (threads == 1 || n == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    const int k = std::min(threads, n);
+    pool.reserve(k);
+    for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return ok.load();
+}
+
+extern "C" int hl_version() { return 1; }

@@ -1,0 +1,91 @@
+"""Native C++ host loader: build, decode parity vs cv2, batch wiring."""
+
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from hourglass_pose_estimation_tpu.data import native
+
+
+@pytest.fixture(scope='module')
+def jpeg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('jpegs')
+    rng = np.random.RandomState(0)
+    sizes = [(300, 400), (512, 512), (123, 77)]
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        # smooth image: JPEG-decoder differences stay tiny
+        img = cv2.GaussianBlur(
+            rng.randint(0, 255, (h, w, 3), np.uint8), (0, 0), 4)
+        p = str(d / f'img{i}.jpg')
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    return paths
+
+
+def test_native_builds():
+    assert native.available(), 'native host loader failed to build/load'
+
+
+def test_native_matches_cv2_canvas(jpeg_dir):
+    canvas = 256
+    res = native.load_canvas_batch(jpeg_dir, canvas)
+    assert res is not None
+    imgs, scales, widths, ok = res
+    assert ok.all()
+    for k, p in enumerate(jpeg_dir):
+        ref_img = cv2.imread(p)
+        h, w = ref_img.shape[:2]
+        assert widths[k] == w
+        q = canvas / max(h, w)
+        np.testing.assert_allclose(scales[k], q, rtol=1e-6)
+        ref = np.zeros((canvas, canvas, 3), np.uint8)
+        rs = cv2.resize(ref_img, (int(round(w * q)), int(round(h * q))),
+                        interpolation=cv2.INTER_LINEAR)
+        ref[:rs.shape[0], :rs.shape[1]] = rs
+        diff = np.abs(imgs[k].astype(int) - ref.astype(int))
+        # decode is libjpeg-vs-libjpeg (same family); resize rounding
+        # differs by at most a couple of levels on smooth content
+        assert np.percentile(diff, 99) <= 3, np.percentile(diff, 99)
+        assert diff.mean() < 1.0, diff.mean()
+
+
+def test_native_bad_path_falls_back(jpeg_dir, tmp_path):
+    missing = str(tmp_path / 'nope.jpg')
+    res = native.load_canvas_batch([jpeg_dir[0], missing], 128)
+    assert res is not None
+    imgs, scales, widths, ok = res
+    assert ok[0] and not ok[1]
+    assert imgs[1].sum() == 0
+
+
+def test_canvas_batch_uses_native(jpeg_dir):
+    """An on-disk JPEG dataset flows through canvas_batch correctly."""
+    from hourglass_pose_estimation_tpu.data.common import (
+        PoseDataset, PoseRecords)
+
+    class Tiny(PoseDataset):
+        name = 'synthetic'  # reuse meanstd
+        n_joints = 4
+        flip_pairs = [[0, 1]]
+
+        def _load_records(self):
+            n = len(jpeg_dir)
+            return PoseRecords(
+                centers=np.full((n, 2), 100, np.float32),
+                scales=np.ones((n, 2), np.float32),
+                joints=np.zeros((n, 4, 2), np.float32),
+                vis=np.ones((n, 4), np.float32),
+                widths=np.full((n,), -1, np.float32),
+                image_paths=list(jpeg_dir))
+
+    ds = Tiny(True, inp_res=64, out_res=16, sigma=1,
+              scale_factor=0.25, rot_factor=30)
+    batch = ds.canvas_batch([0, 1, 2], canvas=128)
+    assert batch['canvas'].shape == (3, 128, 128, 3)
+    assert (batch['canvas_scale'] > 0).all()
+    ref0 = cv2.imread(jpeg_dir[0])
+    assert batch['width'][0] == ref0.shape[1]
+    assert batch['canvas'][0].sum() > 0
