@@ -95,6 +95,8 @@ class TrainConfig:
 class EvalConfig:
     decode: str = 'quarter'        # 'quarter' | 'dark'
     flip_test: bool = False
+    official: bool = False         # dataset-official metrics (PCKh / OKS)
+    gt_mat: str = ''               # MPII gt_<set>.mat for PCKh
 
     def __post_init__(self):
         if self.decode not in ('quarter', 'dark'):

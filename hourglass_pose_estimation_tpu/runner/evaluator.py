@@ -10,7 +10,7 @@ source-image coordinates for dataset-official metrics (MPII PCKh).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -116,3 +116,31 @@ class Evaluator:
                 if v > 0:
                     all_preds[i] = preds[k]
         return all_preds
+
+    # ------------------------------------------------------------------
+    def evaluate_official(self, state):
+        """Dataset-official metrics: MPII PCKh@0.5 (needs EVAL.gt_mat)
+        or COCO-family OKS/AP — the metrics the reference wires nowhere
+        (SURVEY.md §3.2). Returns a dict of named values.
+        """
+        preds = self.predict_keypoints(state)
+        name = self.cfg.dataset.name
+        if name == 'mpii' and self.cfg.eval.gt_mat:
+            from hourglass_pose_estimation_tpu.data.mpii import evaluate_pckh
+            table, mean = evaluate_pckh(preds, self.cfg.eval.gt_mat)
+            return dict(table)
+        # OKS path: score against the loader's own gt instances
+        from hourglass_pose_estimation_tpu.data.oks import (
+            oks_ap, instance_areas_from_scales, COCO_SIGMAS,
+            CROWDPOSE_SIGMAS)
+        r = self.ds.records
+        sigmas = None
+        if name == 'crowdpose':
+            sigmas = CROWDPOSE_SIGMAS
+        elif self.ds.n_joints == 17:
+            sigmas = COCO_SIGMAS
+        else:
+            # uniform kappa for datasets without published constants
+            sigmas = np.full((self.ds.n_joints,), 0.079)
+        areas = instance_areas_from_scales(r.scales)
+        return oks_ap(preds, r.joints, r.vis, areas, sigmas)

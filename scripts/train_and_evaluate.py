@@ -45,6 +45,10 @@ def main(argv):
             raise FileNotFoundError(cfg.common.resume or '<COMMON.resume unset>')
         loss, acc = evaluator.evaluate(state)
         print(f'loss {loss:.5f} | pck {acc:.4f}')
+        if cfg.eval.official:
+            table = evaluator.evaluate_official(state)
+            for k, v in table.items():
+                print(f'  {k}: {v:.3f}')
     else:
         trainer = Trainer(cfg)
         best = trainer.train()

@@ -1,0 +1,95 @@
+"""End-to-end CPU tests: train -> snapshot -> resume continuity,
+official OKS eval path, export round-trip, estimator."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hourglass_pose_estimation_tpu.config import load_config
+from hourglass_pose_estimation_tpu.runner import (
+    Trainer, Evaluator, Estimator, checkpoint as ckpt_lib)
+
+
+def _cfg(tmp, **extra):
+    raw = {
+        'DATASET': {'name': 'synthetic', 'inp_res': 64, 'out_res': 16,
+                    'sigma': 1, 'scale_factor': 0.25, 'rot_factor': 30,
+                    'num_samples': 16},
+        'MODEL': {'arch': 'hg', 'num_stacks': 1},
+        'TRAIN': {'epochs': 2, 'train_batch': 8, 'val_batch': 8,
+                  'precision': 'f32', 'learning_rate': 2.5e-3},
+        'COMMON': {'checkpoint_dir': str(tmp), 'snapshot': 1, 'seed': 0},
+    }
+    for k, v in extra.items():
+        raw.setdefault(k, {}).update(v)
+    return load_config(raw=raw)
+
+
+def test_train_snapshot_resume(tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, verbose=False)
+    trainer.train()
+    ckpt = os.path.join(str(tmp_path), 'ckpts', 'checkpoint_2')
+    assert os.path.isdir(ckpt)
+
+    # resume: state equals the snapshot, epoch continues
+    cfg2 = _cfg(tmp_path, COMMON={'resume': ckpt})
+    trainer2 = Trainer(cfg2, verbose=False)
+    assert trainer2.start_epoch == 2
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(trainer2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+def test_official_oks_eval(tmp_path):
+    cfg = _cfg(tmp_path, EVAL={'official': True})
+    ev = Evaluator(cfg, verbose=False)
+    trainer = Trainer(cfg, verbose=False)
+    table = ev.evaluate_official(trainer.state)
+    assert set(table) == {'AP', 'AP50', 'AP75', 'mean_oks'}
+    assert 0.0 <= table['AP'] <= 1.0
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.export import (
+        export_stablehlo, load_stablehlo)
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                         dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).normal(
+        size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    path = export_stablehlo(model, variables, (1, 64, 64, 3),
+                            str(tmp_path / 'model.stablehlo'))
+    fn = load_stablehlo(path)
+    out = np.asarray(fn(x))
+    ref = np.asarray(model.apply(variables, x, train=False)[-1])
+    assert out.shape == ref.shape
+    # deserialized executables may fuse differently; f32 noise only
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_estimator_runs(tmp_path):
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    cfg = load_config(raw={
+        'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_classes': 16},
+        'COMMON': {'dataset': 'mscoco', 'in_res': 64, 'out_res': 16},
+        'DATASET': {'inp_res': 64, 'out_res': 16},
+    })
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    est = Estimator(cfg, params=variables['params'],
+                    batch_stats=variables['batch_stats'])
+    frame = (np.random.RandomState(0).uniform(
+        0, 255, (120, 160, 3))).astype(np.uint8)
+    kps = est.run(frame, time_it=False)
+    assert kps.shape == (16, 2)
+    batch = est.run_batch(np.stack([frame, frame]))
+    assert batch.shape == (2, 16, 2)
+    np.testing.assert_array_equal(batch[0], batch[1])
