@@ -38,6 +38,8 @@ class HourglassNet(nn.Module):
     # dtype of the stacked heatmap outputs; the loss upcasts to f32, so
     # bf16 here halves the traffic of the [S, B, H, W, J] stack
     out_dtype: Any = jnp.float32
+    # route decoder merges through the Pallas fused upsample+add kernel
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,7 +69,8 @@ class HourglassNet(nn.Module):
         for i in range(self.num_stacks):
             y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
                           mobile=self.mobile, skip_mode=self.skip_mode,
-                          dtype=dt, name=f'hg{i}')(x, train=train)
+                          dtype=dt, fuse_upsample=self.fuse_upsample,
+                          name=f'hg{i}')(x, train=train)
             y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
                               dt, name=f'res{i}')(y, train=train)
             y = conv1x1(ch, f'fc{i}')(y)

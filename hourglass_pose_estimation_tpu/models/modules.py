@@ -106,6 +106,9 @@ class Hourglass(nn.Module):
     mobile: bool = False
     skip_mode: str = 'sum'
     dtype: Any = jnp.bfloat16
+    # use the Pallas fused nearest-upsample+skip-add kernel for the
+    # decoder merge (sum mode only; TPU backend only)
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -136,10 +139,15 @@ class Hourglass(nn.Module):
         # Decoder: low3 = hg[n-1][2], then nearest-2x upsample + merge.
         for n in range(1, self.depth + 1):
             x = chain(f'low3_l{n}')(x, train=train)
-            up2 = upsample2x_nearest(x)
             up1 = skips.pop()
             if self.skip_mode == 'sum':
-                x = up1 + up2
+                if self.fuse_upsample:
+                    from hourglass_pose_estimation_tpu.ops.pallas import (
+                        upsample2x_add_pallas)
+                    x = upsample2x_add_pallas(x, up1)
+                else:
+                    x = up1 + upsample2x_nearest(x)
             else:
-                x = concat_conv(jnp.concatenate([up1, up2], axis=-1))
+                x = concat_conv(
+                    jnp.concatenate([up1, upsample2x_nearest(x)], axis=-1))
         return x

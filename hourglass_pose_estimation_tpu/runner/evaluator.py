@@ -67,18 +67,24 @@ class Evaluator:
         self._decode = functools.partial(base, zero_based=True)
 
     def evaluate(self, state) -> Tuple[float, float]:
-        """Averaged (val_loss, heatmap PCK) — the reference's metric."""
-        loss_m, acc_m = AverageMeter(), AverageMeter()
+        """Averaged (val_loss, heatmap PCK) — the reference's metric.
+
+        Per-batch metrics stay on device; one host fetch at the end
+        (each fetch is a tunnel round trip on this platform).
+        """
+        rows = []
         for idx, valid in self.loader.epoch_indices():
             raw = self.ds.canvas_batch(idx, canvas=self.canvas)
             m = self.eval_step(state, raw, jnp.asarray(valid))
-            n = int(m['n'])
-            if n:
-                loss_m.update(float(m['loss']), n)
-                acc_m.update(float(m['acc']), n)
+            rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
+        vals = np.asarray(jnp.stack(rows))
+        n = vals[:, 2]
+        tot = max(n.sum(), 1.0)
+        loss = float((vals[:, 0] * n).sum() / tot)
+        acc = float((vals[:, 1] * n).sum() / tot)
         if self.verbose:
-            print(f'val: loss {loss_m.avg:.5f} | pck {acc_m.avg:.4f}')
-        return loss_m.avg, acc_m.avg
+            print(f'val: loss {loss:.5f} | pck {acc:.4f}')
+        return loss, acc
 
     # ------------------------------------------------------------------
     def predict_keypoints(self, state, flip_test: Optional[bool] = None):

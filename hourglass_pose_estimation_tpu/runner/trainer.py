@@ -133,52 +133,51 @@ class Trainer:
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, rng):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
-        loss_m, acc_m = AverageMeter(), AverageMeter()
         batches = self.train_loader.epoch_indices()[:self.steps_per_epoch]
         t0 = time.time()
         n_img = 0
-        # stage the next batch's host assembly while the device runs the
+        # Stage the next batch's host assembly while the device runs the
         # current step (the H2D transfer stays on the main thread — the
-        # axon PJRT plugin deadlocks on multi-threaded device_put);
-        # metrics are fetched one step late so the host never blocks on
-        # the step it just dispatched
+        # axon PJRT plugin deadlocks on multi-threaded device_put).
+        # Metrics stay ON DEVICE until the epoch ends: on this platform
+        # every host value fetch is a ~26 ms tunnel round trip, so
+        # per-step metric reads would serialize the pipeline.
         prefetch = Prefetcher(
             batches,
             lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))
-        pending = None                                   # (metrics, bs)
+        step_metrics = []
         # one key per epoch; the step folds in state.step on device
         for raw, (idx, _valid) in prefetch:
             raw = self._put_batch(raw)
             self.state, metrics = self.train_step(self.state, raw, rng)
-            if pending is not None:
-                m, bs = pending
-                loss_m.update(float(m['loss']), bs)
-                acc_m.update(float(m['acc']), bs)
-            pending = (metrics, len(idx))
+            step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
             n_img += len(idx)
-        if pending is not None:
-            m, bs = pending
-            loss_m.update(float(m['loss']), bs)
-            acc_m.update(float(m['acc']), bs)
+        if not step_metrics:
+            return 0.0, 0.0
+        vals = np.asarray(jnp.stack(step_metrics))        # ONE fetch
         dt = time.time() - t0
-        self._log(f'  train: loss {loss_m.avg:.5f} | pck {acc_m.avg:.4f} | '
+        loss, acc = float(vals[:, 0].mean()), float(vals[:, 1].mean())
+        self._log(f'  train: loss {loss:.5f} | pck {acc:.4f} | '
                   f'{n_img / dt:.1f} img/s')
-        return loss_m.avg, acc_m.avg
+        return loss, acc
 
     def _evaluate(self):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
-        loss_m, acc_m = AverageMeter(), AverageMeter()
         prefetch = Prefetcher(
             self.val_loader.epoch_indices(),
             lambda b: self.val_ds.canvas_batch(b[0], canvas=self.canvas))
+        rows = []
         for raw, (idx, valid) in prefetch:
             raw = self._put_batch(raw)
             m = self.eval_step(self.state, raw, jnp.asarray(valid))
-            n = int(m['n'])
-            if n:
-                loss_m.update(float(m['loss']), n)
-                acc_m.update(float(m['acc']), n)
-        return loss_m.avg, acc_m.avg
+            rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
+        if not rows:
+            return 0.0, 0.0
+        vals = np.asarray(jnp.stack(rows))                # ONE fetch
+        n = vals[:, 2]
+        tot = max(n.sum(), 1.0)
+        return (float((vals[:, 0] * n).sum() / tot),
+                float((vals[:, 1] * n).sum() / tot))
 
     # ------------------------------------------------------------------
     def train(self):
