@@ -109,8 +109,17 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.common.seed)
         shape = (1, self.cfg.dataset.inp_res, self.cfg.dataset.inp_res, 3)
         state = init_state(self.model, rng, shape, self.tx)
-        # replicate (or TP-shard) params over the mesh
         rep = replicated_sharding(self.mesh)
+        if self.mesh.shape['model'] > 1:
+            # tensor parallelism: wide conv kernels sharded over 'model'
+            from hourglass_pose_estimation_tpu.parallel import shard_params
+            pspecs = shard_params(state.params, self.mesh)
+            params = jax.tree.map(jax.device_put, state.params, pspecs)
+            return state.replace(
+                params=params,
+                batch_stats=jax.device_put(state.batch_stats, rep),
+                opt_state=jax.device_put(state.opt_state, rep),
+                step=jax.device_put(state.step, rep))
         return jax.device_put(state, rep)
 
     def _resume(self, path: str):
