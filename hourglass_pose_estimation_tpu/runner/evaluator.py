@@ -22,7 +22,6 @@ from hourglass_pose_estimation_tpu.data import (
 from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
 from hourglass_pose_estimation_tpu.ops.decode import (
     decode_quarter_offset, decode_dark)
-from hourglass_pose_estimation_tpu.utils.evaluation import AverageMeter
 
 
 def flip_heatmaps(hms: jax.Array, flip_perm) -> jax.Array:

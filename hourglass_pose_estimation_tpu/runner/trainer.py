@@ -155,12 +155,32 @@ class Trainer:
             batches,
             lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))
         step_metrics = []
-        # one key per epoch; the step folds in state.step on device
+        total = len(batches)
+        # Double-buffered H2D: device_put is async, so dispatching the
+        # NEXT batch's transfer before stepping on the CURRENT one lets
+        # the (slow) host->device link stream behind the compute. One
+        # key per epoch; the step folds in state.step on device.
+        staged = None                    # (device batch, batch size)
+        i = 0
         for raw, (idx, _valid) in prefetch:
-            raw = self._put_batch(raw)
-            self.state, metrics = self.train_step(self.state, raw, rng)
+            incoming = (self._put_batch(raw), len(idx))
+            if staged is not None:
+                dev, bs = staged
+                self.state, metrics = self.train_step(self.state, dev, rng)
+                step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
+                n_img += bs
+                i += 1
+                if self.verbose and total >= 50 and i % 50 == 0:
+                    el = time.time() - t0
+                    eta = el / i * (total - i)
+                    self._log(f'    [{i}/{total}] elapsed {el:.0f}s '
+                              f'eta {eta:.0f}s (dispatch)')
+            staged = incoming
+        if staged is not None:
+            dev, bs = staged
+            self.state, metrics = self.train_step(self.state, dev, rng)
             step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
-            n_img += len(idx)
+            n_img += bs
         if not step_metrics:
             return 0.0, 0.0
         vals = np.asarray(jnp.stack(step_metrics))        # ONE fetch

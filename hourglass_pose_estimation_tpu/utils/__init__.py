@@ -13,3 +13,9 @@ from hourglass_pose_estimation_tpu.utils.evaluation import (
     accuracy,
     AverageMeter,
 )
+from hourglass_pose_estimation_tpu.utils.summary import (
+    summarize,
+    count_params,
+    profile_step,
+    step_cost,
+)
