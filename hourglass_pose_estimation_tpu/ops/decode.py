@@ -84,8 +84,9 @@ def get_preds_zero_based(heatmaps):
     return coords, maxvals
 
 
-@functools.partial(jax.jit, static_argnames=("zero_based",))
-def decode_quarter_offset(heatmaps, centers, scales, zero_based: bool = False):
+@functools.partial(jax.jit, static_argnames=("zero_based", "affine_size"))
+def decode_quarter_offset(heatmaps, centers, scales, zero_based: bool = False,
+                          affine_size=None):
     """Argmax + quarter-pixel offset decode, batched.
 
     Args:
@@ -135,7 +136,11 @@ def decode_quarter_offset(heatmaps, centers, scales, zero_based: bool = False):
     offs = jnp.stack([jnp.sign(gx), jnp.sign(gy)], axis=-1) * 0.25
     coords = coords + jnp.where(ok[..., None], offs, 0.0)
 
-    inv = batched_affine_transforms(centers, scales, jnp.zeros((B,)), (W, H), inv=True)
+    # affine_size defaults to the heatmap dims (the standard decode);
+    # the reference's Estimator v2 path passes the FRAME dims here
+    # (estimator.py:81 -> transform_preds(..., output_size)).
+    size = affine_size if affine_size is not None else (W, H)
+    inv = batched_affine_transforms(centers, scales, jnp.zeros((B,)), size, inv=True)
     return batched_apply_affine(coords, inv), maxvals
 
 

@@ -87,16 +87,42 @@ class Estimator:
                                          output_size, self.threshold)
         return np.asarray(kps), np.asarray(maxv)
 
-    def post_process_v2(self, heatmaps, output_size):
-        """Synthesized center/scale + quarter-offset (estimator.py:76-82)."""
+    def post_process_v2(self, heatmaps, output_size,
+                        strict_reference: bool = False):
+        """Quarter-offset decode of frame-covering heatmaps.
+
+        The reference's version (estimator.py:76-82) synthesizes
+        scale = out*4/200/hm_size, which maps a heatmap peak at (48,20)
+        of a 64^2 map over a 256^2 frame to (123,121) instead of
+        (192,80) — verified against the reference directly; its demo
+        clusters all keypoints near the frame center. The corrected
+        transform treats the whole frame as the person box
+        (scale = frame/200) and decodes in the heatmap frame.
+        `strict_reference=True` reproduces the reference bug-for-bug.
+        """
         B, H, W, J = heatmaps.shape
         center = np.array([round(output_size[0] * 0.5),
                            round(output_size[1] * 0.5)], np.float32)
-        scale = np.array([output_size[0] * 4.0 / 200.0 / H,
-                          output_size[1] * 4.0 / 200.0 / W], np.float32)
-        centers = np.tile(center, (B, 1))
-        scales = np.tile(scale, (B, 1))
-        kps, maxv = decode_quarter_offset(heatmaps, centers, scales)
+        if strict_reference:
+            scale = np.array([output_size[0] * 4.0 / 200.0 / H,
+                              output_size[1] * 4.0 / 200.0 / W], np.float32)
+            centers = np.tile(center, (B, 1))
+            scales = np.tile(scale, (B, 1))
+            kps, maxv = decode_quarter_offset(
+                heatmaps, centers, scales,
+                affine_size=(int(output_size[0]), int(output_size[1])))
+        else:
+            # decode in the (square, resized) network-input frame, then
+            # stretch to the original frame per axis (frames need not be
+            # square; the similarity decode can't express that directly)
+            iw, ih = self.input_size
+            centers = np.tile(np.array([iw / 2, ih / 2], np.float32), (B, 1))
+            scales = np.tile(np.array([iw / 200.0, ih / 200.0], np.float32),
+                             (B, 1))
+            kps, maxv = decode_quarter_offset(heatmaps, centers, scales,
+                                              zero_based=True)
+            kps = np.asarray(kps) * np.array([output_size[0] / iw,
+                                              output_size[1] / ih], np.float32)
         return np.asarray(kps).astype(np.int32), np.asarray(maxv)
 
     # -- inference ------------------------------------------------------

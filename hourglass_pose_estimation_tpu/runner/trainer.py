@@ -35,7 +35,7 @@ from hourglass_pose_estimation_tpu.parallel import (
 from hourglass_pose_estimation_tpu.runner.train_state import (
     TrainState, make_optimizer, init_state, make_train_step, make_eval_step)
 from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
-from hourglass_pose_estimation_tpu.utils.evaluation import AverageMeter
+
 
 
 class Trainer:
@@ -145,12 +145,10 @@ class Trainer:
         batches = self.train_loader.epoch_indices()[:self.steps_per_epoch]
         t0 = time.time()
         n_img = 0
-        # Stage the next batch's host assembly while the device runs the
-        # current step (the H2D transfer stays on the main thread — the
-        # axon PJRT plugin deadlocks on multi-threaded device_put).
-        # Metrics stay ON DEVICE until the epoch ends: on this platform
-        # every host value fetch is a ~26 ms tunnel round trip, so
-        # per-step metric reads would serialize the pipeline.
+        # Stage the next batch's host assembly on a worker thread while
+        # the device runs the current step. Metrics stay ON DEVICE until
+        # the epoch ends: a host value fetch is a full device round trip,
+        # so per-step metric reads would serialize the pipeline.
         prefetch = Prefetcher(
             batches,
             lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))

@@ -93,3 +93,32 @@ def test_estimator_runs(tmp_path):
     batch = est.run_batch(np.stack([frame, frame]))
     assert batch.shape == (2, 16, 2)
     np.testing.assert_array_equal(batch[0], batch[1])
+
+
+def test_estimator_decode_mapping():
+    """A delta heatmap must map through the corrected v2 decode to the
+    stride-consistent frame location. (The reference's own synthesized
+    center/scale maps a 64^2-heatmap peak (48,20) over a 256^2 frame to
+    ~(123,121) — verified against the reference — so this guards our
+    fix, with the bug-for-bug mode still available.)"""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    cfg = load_config(raw={
+        'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_classes': 16},
+        'COMMON': {'dataset': 'mscoco', 'in_res': 256, 'out_res': 64},
+    })
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    est = Estimator(cfg, params=variables['params'],
+                    batch_stats=variables['batch_stats'])
+    hm = np.zeros((1, 64, 64, 16), np.float32)
+    hm[0, 20, 48, 0] = 1.0
+    kps, _ = est.post_process_v2(hm, (256, 256))
+    np.testing.assert_allclose(kps[0, 0], [192, 80], atol=2)
+    # anisotropic frame
+    kps, _ = est.post_process_v2(hm, (512, 128))
+    np.testing.assert_allclose(kps[0, 0], [384, 40], atol=3)
+    # reference-parity mode reproduces the reference's (broken) numbers
+    kps_ref, _ = est.post_process_v2(hm, (256, 256), strict_reference=True)
+    np.testing.assert_allclose(kps_ref[0, 0], [123, 121], atol=2)
