@@ -39,11 +39,13 @@ def export_stablehlo(model, variables, input_shape: Tuple[int, ...],
 
 
 def load_stablehlo(path: str):
-    """Deserialize an exported function; returns a callable."""
+    """Deserialize an exported function; returns a jitted callable
+    (without the jit wrapper, `Exported.call` re-traces every
+    invocation — ~10 s per frame instead of ~1 ms)."""
     with open(path, 'rb') as fp:
         blob = fp.read()
     exported = jax.export.deserialize(bytearray(blob))
-    return exported.call
+    return jax.jit(exported.call)
 
 
 def export_savedmodel(model, variables, input_shape: Tuple[int, ...],
