@@ -2,3 +2,6 @@ from hourglass_pose_estimation_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding, param_sharding_rules,
     shard_params,
 )
+from hourglass_pose_estimation_tpu.parallel.shard_map_step import (
+    make_shard_map_train_step,
+)
