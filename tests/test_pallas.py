@@ -63,3 +63,37 @@ def test_upsample_add_matches_and_grads(rng):
     rl, rs = jax.grad(f_ref, argnums=(0, 1))(jnp.asarray(low), jnp.asarray(skip))
     np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), rtol=1e-5, atol=1e-6)
+
+
+def test_maxpool_kernel_matches_flax(rng):
+    import flax.linen as nn
+    from hourglass_pose_estimation_tpu.ops.pallas import maxpool2x2_pallas
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    out = maxpool2x2_pallas(x, True)
+    ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_maxpool_kernel_grads(rng):
+    import flax.linen as nn
+    from hourglass_pose_estimation_tpu.ops.pallas import maxpool2x2_pallas
+    # unique values -> no ties -> gradient must match XLA exactly
+    base = np.arange(2 * 16 * 16 * 128, dtype=np.float32)
+    rng.shuffle(base)
+    x = jnp.asarray(base.reshape(2, 16, 16, 128))
+
+    def f_pallas(x):
+        return jnp.sum(jnp.sin(maxpool2x2_pallas(x, True)))
+
+    def f_ref(x):
+        return jnp.sum(jnp.sin(nn.max_pool(x, (2, 2), strides=(2, 2))))
+
+    g1 = jax.grad(f_pallas)(x)
+    g2 = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+    # ties: gradient mass per window is conserved (split among ties)
+    xt = jnp.ones((1, 4, 4, 128))
+    gt = jax.grad(lambda x: jnp.sum(maxpool2x2_pallas(x, True)))(xt)
+    np.testing.assert_allclose(np.asarray(gt).sum(), 2 * 2 * 128)
+    np.testing.assert_allclose(np.asarray(gt), 0.25)
