@@ -143,6 +143,27 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def prepare_host_batch(batch, spec: PipelineSpec):
+    """Device-side tail of the HOST (cv2-parity) pipeline.
+
+    The host did read+augment+warp (`PoseDataset.host_batch`, exact
+    reference semantics); this normalizes the raw crops and renders the
+    Gaussian targets on device, producing the same contract as
+    `augment_batch`.
+    """
+    imgs = jnp.asarray(batch['image'], jnp.float32)
+    mean = jnp.asarray(spec.mean, jnp.float32)
+    std = jnp.asarray(spec.std, jnp.float32)
+    imgs = (imgs / 255.0 - mean) / std
+    target, tw = render_gaussian_targets(
+        jnp.asarray(batch['joints'], jnp.float32),
+        jnp.asarray(batch['vis'], jnp.float32),
+        heatmap_size=(spec.out_res, spec.out_res),
+        image_size=(spec.inp_res, spec.inp_res), sigma=spec.sigma)
+    return {'image': imgs, 'target': target, 'target_weight': tw}
+
+
 def make_spec(dataset, train_cfg=None) -> PipelineSpec:
     """Build a PipelineSpec from a PoseDataset."""
     return PipelineSpec(

@@ -92,6 +92,7 @@ class Trainer:
         self.best_acc = 0.0
 
         self.canvas = max(dc.inp_res, 64)
+        self.device_pipeline = dc.device_pipeline
         self.train_step = make_train_step(
             self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
             device_pipeline=dc.device_pipeline)
@@ -139,6 +140,16 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
+    def _stage(self, raw):
+        """Transfer a raw host batch; host-pipeline batches get their
+        device-side tail (normalize + target render) here."""
+        dev = self._put_batch(raw)
+        if not self.device_pipeline:
+            from hourglass_pose_estimation_tpu.data.pipeline import (
+                prepare_host_batch)
+            dev = prepare_host_batch(dev, self.spec)
+        return dev
+
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, rng):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
@@ -149,9 +160,18 @@ class Trainer:
         # the device runs the current step. Metrics stay ON DEVICE until
         # the epoch ends: a host value fetch is a full device round trip,
         # so per-step metric reads would serialize the pipeline.
-        prefetch = Prefetcher(
-            batches,
-            lambda b: self.train_ds.canvas_batch(b[0], canvas=self.canvas))
+        if self.device_pipeline:
+            produce = lambda b: self.train_ds.canvas_batch(
+                b[0], canvas=self.canvas)
+        else:
+            # host (cv2-parity) pipeline: exact reference augmentation
+            # semantics on the host; normalization + target rendering
+            # still happen on device (prepare_host_batch)
+            host_rng = np.random.RandomState(
+                (self.cfg.common.seed * 1000003 + epoch) % (2 ** 31))
+            produce = lambda b: self.train_ds.host_batch(b[0], host_rng,
+                                                         train=True)
+        prefetch = Prefetcher(batches, produce)
         step_metrics = []
         total = len(batches)
         # Double-buffered H2D: device_put is async, so dispatching the
@@ -161,7 +181,7 @@ class Trainer:
         staged = None                    # (device batch, batch size)
         i = 0
         for raw, (idx, _valid) in prefetch:
-            incoming = (self._put_batch(raw), len(idx))
+            incoming = (self._stage(raw), len(idx))
             if staged is not None:
                 dev, bs = staged
                 self.state, metrics = self.train_step(self.state, dev, rng)
@@ -190,12 +210,16 @@ class Trainer:
 
     def _evaluate(self):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
-        prefetch = Prefetcher(
-            self.val_loader.epoch_indices(),
-            lambda b: self.val_ds.canvas_batch(b[0], canvas=self.canvas))
+        if self.device_pipeline:
+            produce = lambda b: self.val_ds.canvas_batch(
+                b[0], canvas=self.canvas)
+        else:
+            rng = np.random.RandomState(0)   # eval path draws nothing
+            produce = lambda b: self.val_ds.host_batch(b[0], rng, train=False)
+        prefetch = Prefetcher(self.val_loader.epoch_indices(), produce)
         rows = []
         for raw, (idx, valid) in prefetch:
-            raw = self._put_batch(raw)
+            raw = self._stage(raw)
             m = self.eval_step(self.state, raw, jnp.asarray(valid))
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
         if not rows:

@@ -122,3 +122,15 @@ def test_estimator_decode_mapping():
     # reference-parity mode reproduces the reference's (broken) numbers
     kps_ref, _ = est.post_process_v2(hm, (256, 256), strict_reference=True)
     np.testing.assert_allclose(kps_ref[0, 0], [123, 121], atol=2)
+
+
+def test_host_pipeline_training(tmp_path):
+    """DATASET.device_pipeline=False: the cv2-parity host pipeline
+    trains end-to-end (reference augmentation on host, normalize +
+    target render on device)."""
+    cfg = _cfg(tmp_path, DATASET={'device_pipeline': False})
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.device_pipeline is False
+    best = trainer.train()
+    assert np.isfinite(best)
+    assert int(trainer.state.step) == 2 * trainer.steps_per_epoch
