@@ -115,3 +115,20 @@ def test_flip_composition_against_host_oracle(rng):
     ref = (ref / 255.0 - np.array(spec.mean)) / np.array(spec.std)
     got = np.asarray(out['image'])[0]
     assert np.median(np.abs(got - ref)) < 0.05
+
+
+def test_device_pipeline_deterministic_across_processes():
+    """Golden determinism: fixed key + fixed data -> fixed digest.
+    Guards refactors of the augmentation pipeline (any semantic change
+    must consciously update the digest)."""
+    ds = _ds(train=True)
+    spec = make_spec(ds)
+    batch = ds.canvas_batch([0, 1, 2, 3], canvas=256)
+    out = augment_batch(batch, jax.random.PRNGKey(42), spec, True)
+    img_sum = float(jnp.sum(out['image']))
+    tgt_sum = float(jnp.sum(out['target']))
+    tw_sum = float(jnp.sum(out['target_weight']))
+    # golden values captured on CPU with pinned precision (conftest)
+    np.testing.assert_allclose(tw_sum, 56.0)
+    np.testing.assert_allclose(img_sum, -1232541.75, rtol=1e-4)
+    np.testing.assert_allclose(tgt_sum, 351.667, rtol=1e-3)
