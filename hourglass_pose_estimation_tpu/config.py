@@ -47,6 +47,12 @@ class DatasetConfig:
     label_type: str = 'Gaussian'
     device_pipeline: bool = True   # augment + render targets on device
     num_samples: int = 512         # synthetic dataset size
+    # device-pipeline canvas: side in px (0 -> max(inp_res, 64)) and
+    # packing mode — 'crop' packs the person's crop region at native
+    # resolution (reference-fidelity for small persons in big frames),
+    # 'image' downscales the whole source image into the canvas.
+    canvas: int = 0
+    canvas_mode: str = 'crop'
 
     def __post_init__(self):
         if self.label_type != 'Gaussian':
@@ -54,6 +60,8 @@ class DatasetConfig:
                              '(parity: common.py:206-207)')
         if self.inp_res % self.out_res != 0:
             raise ValueError('inp_res must be a multiple of out_res')
+        if self.canvas_mode not in ('crop', 'image'):
+            raise ValueError("canvas_mode must be 'crop' or 'image'")
 
 
 @dataclass(frozen=True)
@@ -85,10 +93,18 @@ class TrainConfig:
     data_parallel: int = 0         # 0 -> all devices
     model_parallel: int = 1
     steps_per_epoch: int = 0       # 0 -> full dataset
+    # route the Trainer through the explicit shard_map+psum step
+    # (parallel/shard_map_step.py) instead of the implicit jit+sharding
+    # path; dp-only. sync_bn=False reproduces torch DataParallel's
+    # silent per-replica BatchNorm statistics.
+    explicit_collectives: bool = False
+    sync_bn: bool = True
 
     def __post_init__(self):
         if self.precision not in ('bf16', 'f32'):
             raise ValueError("precision must be 'bf16' or 'f32'")
+        if self.explicit_collectives and self.model_parallel > 1:
+            raise ValueError('explicit_collectives requires model_parallel=1')
 
 
 @dataclass(frozen=True)
@@ -118,6 +134,9 @@ class CommonConfig:
     dataset: str = ''
     in_res: int = 256
     out_res: int = 64
+    # NMS peak decode + skeleton-line rendering (the reference's
+    # openvino_visualizer/utils.py:35-96 path) instead of circles
+    skeleton: bool = False
 
 
 @dataclass(frozen=True)

@@ -197,42 +197,77 @@ class PoseDataset:
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     # -- device pipeline: raw canvases ----------------------------------
-    def canvas_batch(self, idxs: Sequence[int],
-                     canvas: int = 512) -> Dict[str, np.ndarray]:
+    def _region_sides(self, idxs) -> np.ndarray:
+        """Side of the square source region the augmented crop can
+        sample: s*200 grown by the max scale jitter (train) and the
+        rotated square's bounding box (sqrt 2 covers any angle), plus a
+        bilinear-tap margin."""
+        r = self.records
+        s = np.max(r.scales[idxs], axis=-1) * self.pixel_std
+        margin = (1.0 + self.scale_factor) * np.sqrt(2.0) \
+            if self.is_train else 1.0
+        return (s * margin + 4.0).astype(np.float32)
+
+    def canvas_batch(self, idxs: Sequence[int], canvas: int = 512,
+                     crop_aware: bool = False) -> Dict[str, np.ndarray]:
         """Fixed-size uint8 canvases + geometry for on-device augmentation.
 
-        Each source image is scaled by q = canvas/max(H, W) (bilinear)
-        and zero-padded bottom/right. The device pipeline composes q (and
-        the train-time flip) into the crop affine.
+        Two packing modes (the device pipeline composes q, the region
+        offset and the train-time flip into one crop affine either way):
 
-        JPEG files on disk take the native C++ loader (decode + resize +
-        pad with an internal thread pool, data/native.py); anything else
-        — in-memory datasets, other formats, native-decode failures —
-        uses the cv2 path per slot.
+          * whole-image (default): the source image scaled by
+            q = canvas/max(H, W) and zero-padded bottom/right;
+          * crop-aware (`crop_aware=True`): the person's reachable crop
+            region packed around its center at NATIVE resolution (q=1)
+            whenever it fits — the fidelity parity with the reference's
+            single full-resolution warp
+            (`/root/reference/src/datasets/common.py:133-138`) for small
+            persons in large frames; only regions larger than the
+            canvas are downscaled by q = canvas/side.
+
+        JPEG files on disk take the native C++ loader (decode + crop +
+        resize + pad with an internal thread pool, data/native.py);
+        anything else — in-memory datasets, other formats, native-decode
+        failures — uses the cv2 path per slot.
         """
         import cv2
         r = self.records
         B = len(idxs)
         out = np.zeros((B, canvas, canvas, 3), np.uint8)
         qs = np.zeros((B,), np.float32)
+        offs = np.zeros((B, 2), np.float32)
         widths = r.widths[idxs].astype(np.float32).copy()
         done = np.zeros((B,), bool)
+        sides = self._region_sides(idxs) if crop_aware else None
+        centers = r.centers[idxs].astype(np.float32)
 
         if r.images is None and r.image_paths is not None:
             jpeg_slots = [k for k, i in enumerate(idxs)
                           if r.image_paths[i].lower().endswith(('.jpg', '.jpeg'))]
             if jpeg_slots:
                 from hourglass_pose_estimation_tpu.data import native
-                res = native.load_canvas_batch(
-                    [r.image_paths[idxs[k]] for k in jpeg_slots], canvas)
-                if res is not None:
-                    imgs, scales, ws, ok = res
-                    for j, k in enumerate(jpeg_slots):
-                        if ok[j]:
-                            out[k] = imgs[j]
-                            qs[k] = scales[j]
-                            widths[k] = ws[j]
-                            done[k] = True
+                paths = [r.image_paths[idxs[k]] for k in jpeg_slots]
+                if crop_aware:
+                    res = native.load_region_batch(
+                        paths, canvas, centers[jpeg_slots],
+                        sides[jpeg_slots])
+                    if res is not None:
+                        imgs, q, off, ws, ok = res
+                        for j, k in enumerate(jpeg_slots):
+                            if ok[j]:
+                                out[k], qs[k], offs[k] = imgs[j], q[j], off[j]
+                                widths[k] = ws[j]
+                                done[k] = True
+                else:
+                    res = native.load_canvas_batch(paths, canvas)
+                    if res is not None:
+                        imgs, scales, ws, ok = res
+                        for j, k in enumerate(jpeg_slots):
+                            if ok[j]:
+                                out[k] = imgs[j]
+                                qs[k] = scales[j]
+                                widths[k] = ws[j]
+                                done[k] = True
 
         for k, i in enumerate(idxs):
             if done[k]:
@@ -240,16 +275,34 @@ class PoseDataset:
             img = self._read_image(i)
             h, w = img.shape[:2]
             widths[k] = float(w)  # datasets may defer widths (e.g. MPII)
-            q = canvas / max(h, w)
-            if q != 1.0:
-                img = cv2.resize(img, (int(round(w * q)), int(round(h * q))),
-                                 interpolation=cv2.INTER_LINEAR)
-            out[k, :img.shape[0], :img.shape[1]] = img
-            qs[k] = q
+            if crop_aware and sides[k] >= 8.0:
+                side = float(sides[k])
+                cx, cy = centers[k]
+                ox = np.floor(cx - side * 0.5 + 0.5)
+                oy = np.floor(cy - side * 0.5 + 0.5)
+                q = min(1.0, canvas / side)
+                # x_canvas = q*(x_src - ox): cv2.warpAffine with the
+                # same affine == the convention the device warp assumes
+                # (q=1 degenerates to an exact intersection copy).
+                M = np.array([[q, 0.0, -q * ox], [0.0, q, -q * oy]],
+                             np.float64)
+                out[k] = cv2.warpAffine(img, M, (canvas, canvas),
+                                        flags=cv2.INTER_LINEAR)
+                qs[k] = q
+                offs[k] = (ox, oy)
+            else:
+                q = canvas / max(h, w)
+                if q != 1.0:
+                    img = cv2.resize(img,
+                                     (int(round(w * q)), int(round(h * q))),
+                                     interpolation=cv2.INTER_LINEAR)
+                out[k, :img.shape[0], :img.shape[1]] = img
+                qs[k] = q
         return {
             'canvas': out,
             'canvas_scale': qs,
-            'center': r.centers[idxs].astype(np.float32),
+            'canvas_offset': offs,
+            'center': centers,
             'scale': r.scales[idxs].astype(np.float32),
             'joints': r.joints[idxs].astype(np.float32),
             'vis': r.vis[idxs].astype(np.float32),

@@ -74,19 +74,47 @@ class MPII(PoseDataset):
                            vis=vis, widths=widths, image_paths=paths)
 
 
-def evaluate_pckh(preds: np.ndarray, gt_file: str) -> Tuple[Dict[str, float], float]:
+def save_pred_mat(preds: np.ndarray, output_dir: str) -> str:
+    """Write the official submission artifact `pred.mat` (1-based).
+
+    Parity: `/root/reference/src/datasets/mpii.py:95-97` — the
+    evaluator's side effect, kept as its own function so the Evaluator
+    can emit it for the test split too.
+    """
+    from scipy.io import savemat
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, 'pred.mat')
+    savemat(path, mdict={'preds': np.asarray(preds)[:, :, :2] + 1.0})
+    return path
+
+
+def evaluate_pckh(preds: np.ndarray, gt_file: str,
+                  output_dir: str = '',
+                  image_set: str = 'valid') -> Tuple[Dict[str, float], float]:
     """Official MPII PCKh@0.5 against the gt .mat file.
 
     Args:
       preds: [N, 16, 2] predicted keypoints in original-image pixels,
         0-based (converted to 1-based internally, as the reference does).
       gt_file: path to gt_valid.mat (MATLAB format).
+      output_dir: when set, save `pred.mat` there (reference side
+        effect, mpii.py:95-97).
+      image_set: a 'test' split has no public ground truth — return the
+        reference's `({'Null': 0.0}, 0.0)` short-circuit after saving
+        the submission artifact (mpii.py:99-100).
 
     Returns (table, mean) like the reference's dead-code evaluator
     (mpii.py:91-176): Head/Shoulder/Elbow/Wrist/Hip/Knee/Ankle/Mean and
     Mean@0.1, with pelvis/thorax (6, 7) masked out of the mean.
     """
     from scipy.io import loadmat
+
+    if output_dir:
+        save_pred_mat(preds, output_dir)
+    if 'test' in image_set or not gt_file:
+        # test split (no public gt) or no gt .mat available: the
+        # submission artifact is the whole output (mpii.py:99-100)
+        return OrderedDict([('Null', 0.0)]), 0.0
 
     preds = np.asarray(preds)[:, :, :2] + 1.0
     gt = loadmat(gt_file)

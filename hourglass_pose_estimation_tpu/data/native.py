@@ -62,6 +62,31 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        if not hasattr(lib, 'hl_load_region_batch') or lib.hl_version() < 2:
+            # stale .so from a previous build: rebuild once
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                _unavailable = True
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.hl_load_canvas_batch.restype = ctypes.c_int
+        lib.hl_load_region_batch.restype = ctypes.c_int
+        lib.hl_load_region_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),   # cx
+            ctypes.POINTER(ctypes.c_float),   # cy
+            ctypes.POINTER(ctypes.c_float),   # side
+            ctypes.POINTER(ctypes.c_ubyte),   # out
+            ctypes.POINTER(ctypes.c_float),   # q
+            ctypes.POINTER(ctypes.c_float),   # ox
+            ctypes.POINTER(ctypes.c_float),   # oy
+            ctypes.POINTER(ctypes.c_float),   # widths
+            ctypes.POINTER(ctypes.c_float),   # heights
+        ]
         _lib = lib
         return _lib
 
@@ -97,3 +122,37 @@ def load_canvas_batch(paths: List[str], canvas: int, threads: int = 0
         widths.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         heights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out, scales, widths, scales > 0
+
+
+def load_region_batch(paths: List[str], canvas: int, centers: np.ndarray,
+                      sides: np.ndarray, threads: int = 0):
+    """Crop-aware native packing: decode each JPEG and place the
+    side x side region around `center` into the canvas at native
+    resolution (q=1) when it fits, else downscaled by canvas/side.
+
+    Returns (canvases [N,c,c,3] u8, q [N], offsets [N,2] (ox, oy),
+    widths [N], ok [N]) or None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    centers = np.ascontiguousarray(np.asarray(centers, np.float32))
+    cx = np.ascontiguousarray(centers[:, 0])
+    cy = np.ascontiguousarray(centers[:, 1])
+    sides = np.ascontiguousarray(np.asarray(sides, np.float32))
+    out = np.zeros((n, canvas, canvas, 3), np.uint8)
+    q = np.zeros((n,), np.float32)
+    ox = np.zeros((n,), np.float32)
+    oy = np.zeros((n,), np.float32)
+    widths = np.zeros((n,), np.float32)
+    heights = np.zeros((n,), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.hl_load_region_batch(
+        arr, n, canvas, threads, f32p(cx), f32p(cy), f32p(sides),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        f32p(q), f32p(ox), f32p(oy), f32p(widths), f32p(heights))
+    return out, q, np.stack([ox, oy], axis=-1), widths, q > 0

@@ -81,6 +81,11 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     R = spec.inp_res
     canvas = jnp.asarray(batch['canvas'])
     q = jnp.asarray(batch['canvas_scale'], jnp.float32)
+    B0 = canvas.shape[0]
+    if 'canvas_offset' in batch:          # crop-aware packing
+        canvas_off = jnp.asarray(batch['canvas_offset'], jnp.float32)
+    else:                                 # legacy whole-image canvases
+        canvas_off = jnp.zeros((B0, 2), jnp.float32)
     centers = jnp.asarray(batch['center'], jnp.float32)
     scales = jnp.asarray(batch['scale'], jnp.float32)
     joints = jnp.asarray(batch['joints'], jnp.float32)
@@ -112,13 +117,16 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     inv = batched_affine_transforms(centers_f, scales_a, rots, (R, R), inv=True)
 
     # compose: crop -> source(flipped) -> source -> canvas
-    # x_src = width-1-x_flipped when flipped; then x_canvas = q * x_src.
+    # x_src = width-1-x_flipped when flipped; then
+    # x_canvas = q * (x_src - ox) (ox/oy = 0 for whole-image canvases).
     a, b, c = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     d, e, f = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     sgn = jnp.where(flips, -1.0, 1.0)
     off = jnp.where(flips, widths - 1.0, 0.0)
-    row0 = jnp.stack([q * sgn * a, q * sgn * b, q * (sgn * c + off)], axis=-1)
-    row1 = jnp.stack([q * d, q * e, q * f], axis=-1)
+    ox, oy = canvas_off[:, 0], canvas_off[:, 1]
+    row0 = jnp.stack([q * sgn * a, q * sgn * b,
+                      q * (sgn * c + off - ox)], axis=-1)
+    row1 = jnp.stack([q * d, q * e, q * (f - oy)], axis=-1)
     inv_canvas = jnp.stack([row0, row1], axis=1)          # [B, 2, 3]
 
     # uint8 canvases hit the packed-byte gather fast path in affine_warp

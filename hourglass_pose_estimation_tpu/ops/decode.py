@@ -230,6 +230,97 @@ def decode_dark(heatmaps, centers, scales, zero_based: bool = False):
     return batched_apply_affine(coords, inv), maxvals
 
 
+def _scipy_gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> list:
+    """scipy.ndimage.gaussian_filter's 1-D kernel: radius =
+    int(truncate*sigma + 0.5), exp(-0.5 (x/sigma)^2), normalized."""
+    radius = int(truncate * sigma + 0.5)
+    vals = [math.exp(-0.5 * (i / sigma) ** 2)
+            for i in range(-radius, radius + 1)]
+    s = sum(vals)
+    return [v / s for v in vals]
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "window", "threshold"))
+def nms_heatmap(heatmaps, sigma: float = 1.0, window: int = 3,
+                threshold: float = 1e-6):
+    """Batched blur + threshold + local-max suppression.
+
+    The TPU re-design of the reference's per-joint host loop
+    (`/root/reference/tools/openvino_visualizer/utils.py:35-55`):
+    gaussian_filter(sigma) -> zero sub-threshold -> keep only pixels
+    equal to their 3x3 maximum_filter (all joints, all batch elements
+    in one fused XLA program; max filter = lax.reduce_window).
+
+    scipy parity notes: gaussian_filter pads mode='reflect' (numpy
+    'symmetric'), reproduced via jnp.pad; for a MAX filter, scipy's
+    reflect padding equals -inf padding (the reflected values duplicate
+    in-window ones), so reduce_window's SAME padding matches exactly.
+
+    heatmaps: [B, H, W, J] -> suppressed map [B, H, W, J] float32.
+    """
+    B, H, W, J = heatmaps.shape
+    x = heatmaps.astype(jnp.float32)
+    k1d = jnp.asarray(_scipy_gaussian_kernel_1d(sigma), jnp.float32)
+    k = k1d.shape[0]
+    pad = (k - 1) // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode='symmetric')
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, 1),
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(k1d.reshape(k, 1, 1, 1), (1, 1, 1, J)), (1, 1),
+        [(0, 0), (0, 0)], dimension_numbers=dn, feature_group_count=J,
+        precision=jax.lax.Precision.HIGHEST)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(k1d.reshape(1, k, 1, 1), (1, 1, 1, J)), (1, 1),
+        [(0, 0), (0, 0)], dimension_numbers=dn, feature_group_count=J,
+        precision=jax.lax.Precision.HIGHEST)
+    x = jnp.where(x < threshold, 0.0, x)
+    local_max = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, 1, 1, 1),
+        'SAME')
+    return x * (x == local_max)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "window", "threshold"))
+def decode_nms_peaks(heatmaps, sigma: float = 1.0, window: int = 3,
+                     threshold: float = 1e-6):
+    """Top NMS peak per joint: [B, H, W, J] -> [B, J, 3] (x, y, conf).
+
+    Parity: `post_process_heatmap`
+    (`/root/reference/tools/openvino_visualizer/utils.py:35-48`) — the
+    first (row-major) occurrence of the per-map maximum of the
+    suppressed map; an all-zero map decodes to (0, 0, 0).
+    """
+    B, H, W, J = heatmaps.shape
+    peaks = nms_heatmap(heatmaps, sigma, window, threshold)
+    flat = peaks.reshape(B, H * W, J)
+    idx = jnp.argmax(flat, axis=1)
+    conf = jnp.max(flat, axis=1)
+    x = (idx % W).astype(jnp.float32)
+    y = jnp.floor_divide(idx, W).astype(jnp.float32)
+    return jnp.stack([x, y, conf], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "sigma", "window", "threshold"))
+def decode_nms_topk(heatmaps, k: int = 4, sigma: float = 1.0,
+                    window: int = 3, threshold: float = 1e-6):
+    """Multi-peak variant: the k strongest NMS peaks per joint.
+
+    Returns ([B, J, k, 2] float (x, y), [B, J, k] conf); slots beyond
+    the real peak count carry conf 0. (The reference keeps only the top
+    peak; the suppressed map holds every peak — exposed here for
+    multi-person serving on top of the same kernel.)
+    """
+    B, H, W, J = heatmaps.shape
+    peaks = nms_heatmap(heatmaps, sigma, window, threshold)
+    flat = peaks.reshape(B, H * W, J).transpose(0, 2, 1)   # [B, J, HW]
+    conf, idx = jax.lax.top_k(flat, k)
+    x = (idx % W).astype(jnp.float32)
+    y = jnp.floor_divide(idx, W).astype(jnp.float32)
+    return jnp.stack([x, y], axis=-1), conf
+
+
 @functools.partial(jax.jit, static_argnames=("input_size", "output_size", "threshold"))
 def decode_simple_argmax(heatmaps, input_size, output_size, threshold=0.02):
     """Thresholded 0-based argmax decode with stride-4 upscale.

@@ -27,11 +27,33 @@ from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
 
 
 class Estimator:
+    @staticmethod
+    def _joints_for(dataset: str) -> int:
+        """Joint count from the inference config's dataset name.
+
+        Accepts registry names and the reference's loose substrings
+        (`COMMON.dataset` drives mean/std choice by substring at
+        estimator.py:41-48): 'mscoco'/'coco' -> 17, 'mpii' -> 16, ...
+        """
+        from hourglass_pose_estimation_tpu.data import REGISTRY, n_joints_for
+        if dataset in REGISTRY:
+            return n_joints_for(dataset)
+        for key in REGISTRY:
+            if key in dataset or dataset in key:
+                return n_joints_for(key)
+        raise ValueError(
+            f'cannot derive num_classes from dataset {dataset!r}; '
+            f'set MODEL.num_classes explicitly')
+
     def __init__(self, cfg: Config, params=None, batch_stats=None,
                  strict_reference_stats: bool = False):
         mc, cc = cfg.model, cfg.common
         self.cfg = cfg
-        num_classes = mc.num_classes or 16
+        # num_classes: explicit config wins (`configs/inference.yaml`
+        # `num_classes`, reference scripts/estimate.py surface); else
+        # derive from the dataset name — NOT a silent 16, which would be
+        # wrong for COCO-17 inference configs.
+        num_classes = mc.num_classes or self._joints_for(cc.dataset)
         self.model = get_model(mc.arch, num_stacks=mc.num_stacks,
                                num_blocks=mc.num_blocks,
                                num_classes=num_classes, mobile=mc.mobile,
@@ -141,6 +163,17 @@ class Estimator:
             print(f'Inference time: {time.time() - start:.3f}s')
         kps, _ = self.post_process_v2(hms, (frame.shape[1], frame.shape[0]))
         return kps[0]
+
+    def run_skeleton(self, frame: np.ndarray):
+        """One frame -> ([J, 3] heatmap-space (x, y, conf) NMS peaks,
+        heatmap (H, W)) for skeleton rendering — the reference's
+        `post_process_heatmap` path
+        (openvino_visualizer/utils.py:35-48), batched on device."""
+        from hourglass_pose_estimation_tpu.ops.decode import decode_nms_peaks
+        inp = self.preprocess(frame)
+        hms = self._forward(self.variables, inp)
+        kps = np.asarray(decode_nms_peaks(hms))[0]
+        return kps, tuple(hms.shape[1:3])
 
     def run_batch(self, frames: np.ndarray):
         """[B, H, W, 3] -> [B, J, 2] keypoints (batched path the

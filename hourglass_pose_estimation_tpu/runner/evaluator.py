@@ -10,6 +10,7 @@ source-image coordinates for dataset-official metrics (MPII PCKh).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -51,7 +52,8 @@ class Evaluator:
         self.spec = make_spec(self.ds)
         self.loader = Loader(self.ds, cfg.train.val_batch, shuffle=False,
                              seed=cfg.common.seed, drop_last=False)
-        self.canvas = max(dc.inp_res, 64)
+        self.canvas = dc.canvas or max(dc.inp_res, 64)
+        self.crop_aware = dc.canvas_mode == 'crop'
 
         from hourglass_pose_estimation_tpu.runner.train_state import make_eval_step
         self.eval_step = make_eval_step(self.spec, subset=cfg.model.subset,
@@ -73,7 +75,8 @@ class Evaluator:
         """
         rows = []
         for idx, valid in self.loader.epoch_indices():
-            raw = self.ds.canvas_batch(idx, canvas=self.canvas)
+            raw = self.ds.canvas_batch(idx, canvas=self.canvas,
+                                       crop_aware=self.crop_aware)
             m = self.eval_step(state, raw, jnp.asarray(valid))
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
         vals = np.asarray(jnp.stack(rows))
@@ -86,11 +89,14 @@ class Evaluator:
         return loss, acc
 
     # ------------------------------------------------------------------
-    def predict_keypoints(self, state, flip_test: Optional[bool] = None):
+    def predict_keypoints(self, state, flip_test: Optional[bool] = None,
+                          return_scores: bool = False):
         """Decode keypoints for the whole val set into source-image
         coordinates (for dataset-official metrics such as MPII PCKh).
 
-        Returns [N, J, 2] float32 predictions.
+        Returns [N, J, 2] float32 predictions; with
+        `return_scores=True`, also [N, J] per-keypoint heatmap peak
+        values (the confidences for the COCO results file).
         """
         flip_test = self.cfg.eval.flip_test if flip_test is None else flip_test
         perm = self.spec.flip_perm
@@ -113,33 +119,50 @@ class Evaluator:
         N = len(self.ds)
         J = self.ds.n_joints
         all_preds = np.zeros((N, J, 2), np.float32)
+        all_scores = np.zeros((N, J), np.float32)
         for idx, valid in self.loader.epoch_indices():
-            raw = self.ds.canvas_batch(idx, canvas=self.canvas)
-            preds, _ = forward(state, raw)
-            preds = np.asarray(preds)
+            raw = self.ds.canvas_batch(idx, canvas=self.canvas,
+                                       crop_aware=self.crop_aware)
+            preds, maxv = forward(state, raw)
+            preds, maxv = np.asarray(preds), np.asarray(maxv)
             for k, (i, v) in enumerate(zip(idx, valid)):
                 if v > 0:
                     all_preds[i] = preds[k]
+                    all_scores[i] = maxv[k].reshape(J)
+        if return_scores:
+            return all_preds, all_scores
         return all_preds
 
     # ------------------------------------------------------------------
-    def evaluate_official(self, state):
-        """Dataset-official metrics: MPII PCKh@0.5 (needs EVAL.gt_mat)
-        or COCO-family OKS/AP — the metrics the reference wires nowhere
-        (SURVEY.md §3.2). Returns a dict of named values.
+    def evaluate_official(self, state, output_dir: Optional[str] = None):
+        """Dataset-official metrics + submission artifacts — the paths
+        the reference wires nowhere (SURVEY.md §3.2):
+
+          * MPII (EVAL.gt_mat set): PCKh@0.5 table, saving `pred.mat`
+            (and short-circuiting a test split) exactly like the
+            reference's dead-code evaluator (mpii.py:95-100);
+          * COCO family: writes a pycocotools-format results JSON, runs
+            the official COCOeval when pycocotools is importable, and
+            always reports the self-contained OKS recall (AR keys —
+            honestly named; not score-ranked AP).
+
+        Returns a dict of named values.
         """
-        preds = self.predict_keypoints(state)
+        if output_dir is None:
+            output_dir = self.cfg.common.checkpoint_dir
+        preds, scores = self.predict_keypoints(state, return_scores=True)
         name = self.cfg.dataset.name
-        if name == 'mpii' and self.cfg.eval.gt_mat:
+        if name == 'mpii' and (self.cfg.eval.gt_mat or output_dir):
             from hourglass_pose_estimation_tpu.data.mpii import evaluate_pckh
-            table, mean = evaluate_pckh(preds, self.cfg.eval.gt_mat)
+            table, mean = evaluate_pckh(
+                preds, self.cfg.eval.gt_mat, output_dir=output_dir or '',
+                image_set=getattr(self.ds, 'image_set', 'valid'))
             return dict(table)
         # OKS path: score against the loader's own gt instances
         from hourglass_pose_estimation_tpu.data.oks import (
-            oks_ap, instance_areas_from_scales, COCO_SIGMAS,
-            CROWDPOSE_SIGMAS)
+            oks_recall, instance_areas_from_scales, write_coco_results,
+            coco_eval_ap, COCO_SIGMAS, CROWDPOSE_SIGMAS)
         r = self.ds.records
-        sigmas = None
         if name == 'crowdpose':
             sigmas = CROWDPOSE_SIGMAS
         elif self.ds.n_joints == 17:
@@ -148,4 +171,15 @@ class Evaluator:
             # uniform kappa for datasets without published constants
             sigmas = np.full((self.ds.n_joints,), 0.079)
         areas = instance_areas_from_scales(r.scales)
-        return oks_ap(preds, r.joints, r.vis, areas, sigmas)
+        table = oks_recall(preds, r.joints, r.vis, areas, sigmas)
+        image_ids = getattr(self.ds, 'image_ids', None)
+        if image_ids is not None and output_dir:
+            path = write_coco_results(
+                preds, scores.mean(axis=1), image_ids,
+                os.path.join(output_dir, f'keypoints_{name}_results.json'),
+                kpt_scores=scores)
+            table['results_file'] = path
+            official = coco_eval_ap(self.ds._ann_file(), path)
+            if official is not None:       # pycocotools present
+                table.update({f'coco_{k}': v for k, v in official.items()})
+        return table

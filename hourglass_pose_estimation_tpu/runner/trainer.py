@@ -91,11 +91,25 @@ class Trainer:
         self.start_epoch = 0
         self.best_acc = 0.0
 
-        self.canvas = max(dc.inp_res, 64)
+        self.canvas = dc.canvas or max(dc.inp_res, 64)
+        self.crop_aware = dc.canvas_mode == 'crop'
         self.device_pipeline = dc.device_pipeline
-        self.train_step = make_train_step(
-            self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
-            device_pipeline=dc.device_pipeline)
+        if tc.explicit_collectives:
+            # explicit shard_map+psum formulation (TRAIN.explicit_
+            # collectives); TRAIN.sync_bn=False gives DataParallel's
+            # per-replica BN statistics (reference's actual behavior)
+            if not dc.device_pipeline:
+                raise ValueError('explicit_collectives requires '
+                                 'DATASET.device_pipeline=True')
+            from hourglass_pose_estimation_tpu.parallel.shard_map_step import (
+                make_shard_map_train_step)
+            self.train_step = make_shard_map_train_step(
+                self.spec, self.mesh, subset=mc.subset,
+                pck_thr=cfg.common.pck, sync_bn=tc.sync_bn)
+        else:
+            self.train_step = make_train_step(
+                self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
+                device_pipeline=dc.device_pipeline)
         self.eval_step = make_eval_step(
             self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
             device_pipeline=dc.device_pipeline)
@@ -106,27 +120,32 @@ class Trainer:
             self._resume(cfg.common.resume)
 
     # ------------------------------------------------------------------
-    def _init_state(self) -> TrainState:
-        rng = jax.random.PRNGKey(self.cfg.common.seed)
-        shape = (1, self.cfg.dataset.inp_res, self.cfg.dataset.inp_res, 3)
-        state = init_state(self.model, rng, shape, self.tx)
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Apply the mesh placement: params tensor-parallel-sharded when
+        model_parallel > 1, everything else replicated. Used by BOTH
+        fresh init and resume so a restored TP run keeps its 'model'-axis
+        shardings (a resume must not silently fall back to replicated)."""
         rep = replicated_sharding(self.mesh)
         if self.mesh.shape['model'] > 1:
-            # tensor parallelism: wide conv kernels sharded over 'model'
             from hourglass_pose_estimation_tpu.parallel import shard_params
-            pspecs = shard_params(state.params, self.mesh)
-            params = jax.tree.map(jax.device_put, state.params, pspecs)
+            place = lambda tree: jax.tree.map(
+                jax.device_put, tree, shard_params(tree, self.mesh))
             return state.replace(
-                params=params,
-                batch_stats=jax.device_put(state.batch_stats, rep),
-                opt_state=jax.device_put(state.opt_state, rep),
+                params=place(state.params),
+                # RMSprop accumulators are param-shaped: same TP sharding
+                opt_state=place(state.opt_state),
+                batch_stats=place(state.batch_stats),
                 step=jax.device_put(state.step, rep))
         return jax.device_put(state, rep)
 
+    def _init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.common.seed)
+        shape = (1, self.cfg.dataset.inp_res, self.cfg.dataset.inp_res, 3)
+        return self._place_state(init_state(self.model, rng, shape, self.tx))
+
     def _resume(self, path: str):
         payload = ckpt_lib.restore(path, self.state)
-        self.state = jax.device_put(payload['state'],
-                                    replicated_sharding(self.mesh))
+        self.state = self._place_state(payload['state'])
         self.start_epoch = int(payload['epoch'])
         self.best_acc = float(payload['best_acc'])
         if self.verbose:
@@ -162,7 +181,7 @@ class Trainer:
         # so per-step metric reads would serialize the pipeline.
         if self.device_pipeline:
             produce = lambda b: self.train_ds.canvas_batch(
-                b[0], canvas=self.canvas)
+                b[0], canvas=self.canvas, crop_aware=self.crop_aware)
         else:
             # host (cv2-parity) pipeline: exact reference augmentation
             # semantics on the host; normalization + target rendering
@@ -212,7 +231,7 @@ class Trainer:
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
         if self.device_pipeline:
             produce = lambda b: self.val_ds.canvas_batch(
-                b[0], canvas=self.canvas)
+                b[0], canvas=self.canvas, crop_aware=self.crop_aware)
         else:
             rng = np.random.RandomState(0)   # eval path draws nothing
             produce = lambda b: self.val_ds.host_batch(b[0], rng, train=False)

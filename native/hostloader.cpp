@@ -16,6 +16,7 @@
 // zero-filled with canvas_scale 0 (the Python side falls back to cv2
 // for those).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -145,7 +146,130 @@ void load_one(const char* path, int canvas, uint8_t* out_img,
   *height = static_cast<float>(h);
 }
 
+// Crop-aware packing: place the person's bbox neighborhood at NATIVE
+// resolution into the canvas (q = 1 whenever the region fits; only
+// regions larger than the canvas are downscaled). The Python pipeline
+// composes the region offset/scale into the per-sample crop affine, so
+// the device warp samples x_canvas = q * (x_src - ox). cv2 fallback:
+// data/common.py::canvas_batch(crop_aware=True) — identical math.
+void load_region_one(const char* path, int canvas, float cx, float cy,
+                     float side, uint8_t* out_img, float* q_out,
+                     float* ox_out, float* oy_out, float* width,
+                     float* height) {
+  std::vector<uint8_t> pixels;
+  int w = 0, h = 0;
+  std::memset(out_img, 0, static_cast<size_t>(canvas) * canvas * 3);
+  *q_out = 0.0f;
+  *ox_out = 0.0f;
+  *oy_out = 0.0f;
+  *width = 0.0f;
+  *height = 0.0f;
+  if (!decode_jpeg(path, &pixels, &w, &h) || w <= 0 || h <= 0) return;
+  *width = static_cast<float>(w);
+  *height = static_cast<float>(h);
+
+  if (side < 8.0f) {  // degenerate geometry: whole-image fallback
+    const float q = static_cast<float>(canvas) / std::max(w, h);
+    const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
+    const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
+    std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
+    resize_bilinear(pixels.data(), w, h, resized.data(), ow, oh);
+    for (int y = 0; y < oh; ++y)
+      std::memcpy(out_img + static_cast<size_t>(y) * canvas * 3,
+                  resized.data() + static_cast<size_t>(y) * ow * 3,
+                  static_cast<size_t>(ow) * 3);
+    *q_out = q;
+    return;
+  }
+
+  const float ox = std::floor(cx - side * 0.5f + 0.5f);
+  const float oy = std::floor(cy - side * 0.5f + 0.5f);
+  if (side <= static_cast<float>(canvas)) {
+    // native resolution: plain intersection copy (q = 1, exact). The
+    // whole canvas extent is filled (not just `side` pixels) so the
+    // result matches the cv2 fallback's full-canvas warp bit for bit.
+    const int x0 = std::max(0, static_cast<int>(ox));
+    const int y0 = std::max(0, static_cast<int>(oy));
+    const int x1 = std::min(w, static_cast<int>(ox) + canvas);
+    const int y1 = std::min(h, static_cast<int>(oy) + canvas);
+    for (int y = y0; y < y1; ++y) {
+      if (x1 <= x0) break;
+      std::memcpy(out_img + (static_cast<size_t>(y - static_cast<int>(oy)) *
+                             canvas + (x0 - static_cast<int>(ox))) * 3,
+                  pixels.data() + (static_cast<size_t>(y) * w + x0) * 3,
+                  static_cast<size_t>(x1 - x0) * 3);
+    }
+    *q_out = 1.0f;
+  } else {
+    // region larger than the canvas: downscale by q = canvas/side;
+    // canvas pixel (X, Y) samples source (X/q + ox, Y/q + oy),
+    // bilinear, zero outside — the convention the device warp assumes.
+    const float q = static_cast<float>(canvas) / side;
+    const float inv_q = side / static_cast<float>(canvas);
+    for (int y = 0; y < canvas; ++y) {
+      const float fy = y * inv_q + oy;
+      if (fy < -1.0f || fy > static_cast<float>(h)) continue;
+      const int y0i = static_cast<int>(std::floor(fy));
+      const float wy = fy - y0i;
+      for (int x = 0; x < canvas; ++x) {
+        const float fx = x * inv_q + ox;
+        if (fx < -1.0f || fx > static_cast<float>(w)) continue;
+        const int x0i = static_cast<int>(std::floor(fx));
+        const float wx = fx - x0i;
+        uint8_t* o = out_img + (static_cast<size_t>(y) * canvas + x) * 3;
+        for (int c = 0; c < 3; ++c) {
+          float acc = 0.0f;
+          const float wgt[4] = {(1 - wx) * (1 - wy), wx * (1 - wy),
+                                (1 - wx) * wy, wx * wy};
+          const int xs[4] = {x0i, x0i + 1, x0i, x0i + 1};
+          const int ys[4] = {y0i, y0i, y0i + 1, y0i + 1};
+          for (int t = 0; t < 4; ++t) {
+            if (xs[t] < 0 || xs[t] >= w || ys[t] < 0 || ys[t] >= h) continue;
+            acc += wgt[t] *
+                   pixels[(static_cast<size_t>(ys[t]) * w + xs[t]) * 3 + c];
+          }
+          o[c] = static_cast<uint8_t>(std::min(255.0f, acc + 0.5f));
+        }
+      }
+    }
+    *q_out = q;
+  }
+  *ox_out = ox;
+  *oy_out = oy;
+}
+
 }  // namespace
+
+extern "C" int hl_load_region_batch(const char** paths, int n, int canvas,
+                                    int threads, const float* cx,
+                                    const float* cy, const float* side,
+                                    unsigned char* out, float* q, float* ox,
+                                    float* oy, float* widths,
+                                    float* heights) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> ok(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      load_region_one(paths[i], canvas, cx[i], cy[i], side[i],
+                      out + static_cast<size_t>(i) * canvas * canvas * 3,
+                      q + i, ox + i, oy + i, widths + i, heights + i);
+      if (q[i] > 0.0f) ok.fetch_add(1);
+    }
+  };
+  if (threads == 1 || n == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    const int k = std::min(threads, n);
+    pool.reserve(k);
+    for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return ok.load();
+}
 
 extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
                                     int threads, unsigned char* out,
@@ -176,4 +300,4 @@ extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
   return ok.load();
 }
 
-extern "C" int hl_version() { return 1; }
+extern "C" int hl_version() { return 2; }

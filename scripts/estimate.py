@@ -29,10 +29,19 @@ def main(argv):
     frame = cv2.imread(cfg.common.image_path)
     if frame is None:
         raise FileNotFoundError(cfg.common.image_path)
-    kps = estimator.run(frame)
-    for x, y in kps:
-        cv2.circle(frame, center=(int(x), int(y)), color=(0, 0, 255),
-                   radius=5, thickness=-1)
+    if cfg.common.skeleton:
+        # NMS peak decode + skeleton lines (COMMON.skeleton=True), the
+        # reference's openvino_visualizer rendering path
+        from hourglass_pose_estimation_tpu.utils.visualize import draw_skeleton
+        kps, (hm_h, hm_w) = estimator.run_skeleton(frame)
+        draw_skeleton(frame, kps,
+                      scale_x=frame.shape[1] / (hm_w * 4.0),
+                      scale_y=frame.shape[0] / (hm_h * 4.0))
+    else:
+        kps = estimator.run(frame)
+        for x, y in kps:
+            cv2.circle(frame, center=(int(x), int(y)), color=(0, 0, 255),
+                       radius=5, thickness=-1)
     cv2.imwrite(cfg.common.dest_path, frame)
     print(f'wrote {cfg.common.dest_path}')
     return 0

@@ -5,7 +5,9 @@ import math
 
 import numpy as np
 import cv2
+import pytest
 import torch
+import jax.numpy as jnp
 
 from hourglass_pose_estimation_tpu.ops import decode as D
 from hourglass_pose_estimation_tpu.utils.transforms import (
@@ -169,3 +171,86 @@ def test_simple_argmax_decode(rng):
     iy, ix = np.unravel_index(np.argmax(flat), flat.shape)
     assert kps[1, j, 0] == int(ix * (512 / 256) * 4)
     assert kps[1, j, 1] == int(iy * (384 / 256) * 4)
+
+
+# ---------------------------------------------------------------------------
+# NMS multi-peak decode (reference: openvino_visualizer/utils.py:35-55)
+
+def _scipy_nms_oracle(hm_joint, sigma=1.0, window=3, threshold=1e-6):
+    """The reference's per-map pipeline, verbatim semantics."""
+    from scipy.ndimage import gaussian_filter, maximum_filter
+    m = gaussian_filter(hm_joint.astype(np.float64), sigma=sigma)
+    m[m < threshold] = 0
+    return m * (m == maximum_filter(m, footprint=np.ones((window, window))))
+
+
+def test_nms_heatmap_matches_scipy(rng):
+    from hourglass_pose_estimation_tpu.ops.decode import nms_heatmap
+    B, H, W, J = 2, 24, 20, 5
+    hm = rng.rand(B, H, W, J).astype(np.float32)
+    # add sharp peaks so suppression has structure
+    for b in range(B):
+        for j in range(J):
+            hm[b, rng.randint(H), rng.randint(W), j] += 3.0
+    got = np.asarray(nms_heatmap(jnp.asarray(hm)))
+    for b in range(B):
+        for j in range(J):
+            want = _scipy_nms_oracle(hm[b, :, :, j])
+            # nonzero support must match exactly; values to fp tolerance
+            assert (got[b, :, :, j] > 0).tolist() == (want > 0).tolist(), (b, j)
+            np.testing.assert_allclose(got[b, :, :, j], want,
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_decode_nms_peaks_matches_reference_loop(rng):
+    from hourglass_pose_estimation_tpu.ops.decode import decode_nms_peaks
+    B, H, W, J = 2, 24, 20, 4
+    hm = (rng.rand(B, H, W, J) * 0.2).astype(np.float32)
+    for b in range(B):
+        for j in range(J):
+            hm[b, 3 + 2 * j, 4 + 3 * j, j] = 2.0 + j
+    got = np.asarray(decode_nms_peaks(jnp.asarray(hm)))
+    for b in range(B):
+        for j in range(J):
+            peaks = _scipy_nms_oracle(hm[b, :, :, j])
+            ys, xs = np.where(peaks == peaks.max())
+            assert got[b, j, 0] == xs[0] and got[b, j, 1] == ys[0], (b, j)
+            np.testing.assert_allclose(got[b, j, 2], peaks[ys[0], xs[0]],
+                                       rtol=1e-4)
+
+
+def test_decode_nms_peaks_all_zero_map():
+    from hourglass_pose_estimation_tpu.ops.decode import decode_nms_peaks
+    hm = np.zeros((1, 16, 16, 3), np.float32)
+    got = np.asarray(decode_nms_peaks(jnp.asarray(hm)))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_decode_nms_topk(rng):
+    from hourglass_pose_estimation_tpu.ops.decode import decode_nms_topk
+    hm = np.zeros((1, 32, 32, 1), np.float32)
+    hm[0, 5, 5, 0] = 3.0
+    hm[0, 20, 25, 0] = 2.0
+    xy, conf = decode_nms_topk(jnp.asarray(hm), k=3)
+    xy, conf = np.asarray(xy), np.asarray(conf)
+    assert tuple(xy[0, 0, 0]) == (5.0, 5.0)
+    assert tuple(xy[0, 0, 1]) == (25.0, 20.0)
+    assert conf[0, 0, 0] > conf[0, 0, 1] > 0
+    assert conf[0, 0, 2] == 0.0
+
+
+def test_draw_skeleton_smoke():
+    """Skeleton renderer draws lines for confident pairs only."""
+    cv2 = pytest.importorskip('cv2')
+    from hourglass_pose_estimation_tpu.utils.visualize import (
+        draw_skeleton, BODY_PARTS_KPT_IDS)
+    img = np.zeros((256, 256, 3), np.uint8)
+    kps = np.zeros((17, 3), np.float32)
+    kps[:, 0] = np.linspace(5, 55, 17)   # heatmap-space x
+    kps[:, 1] = np.linspace(5, 55, 17)
+    kps[:, 2] = 1.0                       # all confident
+    out = draw_skeleton(img, kps, scale_x=1.0, scale_y=1.0)
+    assert out.sum() > 0
+    blank = draw_skeleton(np.zeros_like(img), np.zeros((17, 3), np.float32))
+    assert blank.sum() == 0               # all below thr: nothing drawn
+    assert len(BODY_PARTS_KPT_IDS) == 18  # reference table incl. dup tail

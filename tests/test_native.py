@@ -89,3 +89,48 @@ def test_canvas_batch_uses_native(jpeg_dir):
     ref0 = cv2.imread(jpeg_dir[0])
     assert batch['width'][0] == ref0.shape[1]
     assert batch['canvas'][0].sum() > 0
+
+
+def test_native_region_batch_matches_cv2(jpeg_dir):
+    """Crop-aware native packing vs the cv2-fallback math in
+    canvas_batch: same affine convention x_canvas = q*(x_src - ox)."""
+    canvas = 128
+    centers = np.array([[200, 150], [60, 480], [38, 60]], np.float32)
+    sides = np.array([100.0, 300.0, 90.0], np.float32)  # fit / bigger / edge
+    res = native.load_region_batch(jpeg_dir, canvas, centers, sides)
+    assert res is not None
+    imgs, q, offs, widths, ok = res
+    assert ok.all()
+    for k, p in enumerate(jpeg_dir):
+        src = cv2.imread(p)
+        side = float(sides[k])
+        cx, cy = centers[k]
+        ox = np.floor(cx - side * 0.5 + 0.5)
+        oy = np.floor(cy - side * 0.5 + 0.5)
+        qq = min(1.0, canvas / side)
+        M = np.array([[qq, 0, -qq * ox], [0, qq, -qq * oy]], np.float64)
+        ref = cv2.warpAffine(src, M, (canvas, canvas), flags=cv2.INTER_LINEAR)
+        assert abs(q[k] - qq) < 1e-5
+        np.testing.assert_allclose(offs[k], (ox, oy))
+        diff = np.abs(imgs[k].astype(np.int32) - ref.astype(np.int32))
+        # JPEG-decoder + fixed-point-interp differences only
+        assert np.median(diff) <= 1.0, (k, np.median(diff))
+        assert np.percentile(diff, 99) <= 6.0, (k, np.percentile(diff, 99))
+
+
+def test_native_region_q1_exact_copy(jpeg_dir):
+    """When the region fits the canvas, packing is a raw pixel copy."""
+    canvas = 128
+    centers = np.array([[150, 100]], np.float32)
+    sides = np.array([96.0], np.float32)
+    res = native.load_region_batch(jpeg_dir[:1], canvas, centers, sides)
+    imgs, q, offs, widths, ok = res
+    assert ok[0] and q[0] == 1.0
+    src = cv2.imread(jpeg_dir[0])
+    ox, oy = int(offs[0][0]), int(offs[0][1])
+    # q=1: the full canvas extent is a raw copy of the source region
+    # (native decode may differ from cv2's by the odd LSB)
+    region = src[oy:oy + canvas, ox:ox + canvas]
+    diff = np.abs(imgs[0].astype(np.int32) - region.astype(np.int32))
+    assert np.median(diff) <= 1.0
+    assert np.percentile(diff, 99) <= 6.0

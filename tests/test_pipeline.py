@@ -132,3 +132,95 @@ def test_device_pipeline_deterministic_across_processes():
     np.testing.assert_allclose(tw_sum, 56.0)
     np.testing.assert_allclose(img_sum, -1232541.75, rtol=1e-4)
     np.testing.assert_allclose(tgt_sum, 351.667, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Crop-aware canvas packing (device-pipeline fidelity for small persons)
+
+from hourglass_pose_estimation_tpu.data.common import PoseDataset
+
+
+class _TinyPersonDS(PoseDataset):
+    """A small person (crop box ~1/8 of the frame) in a big frame —
+    the case where whole-image canvas packing loses resolution."""
+    name = 'tinyperson'
+    n_joints = 16
+    flip_pairs = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
+
+    def __init__(self, frame=512, box=64, n=2, **kw):
+        self._frame, self._box, self._n = frame, box, n
+        kw.setdefault('inp_res', 256)
+        kw.setdefault('out_res', 64)
+        super().__init__(False, **kw)       # eval mode: no augmentation
+
+    def _load_records(self):
+        from hourglass_pose_estimation_tpu.data.common import PoseRecords
+        rng = np.random.RandomState(7)
+        F, B, N = self._frame, self._box, self._n
+        imgs = rng.randint(0, 256, size=(N, F, F, 3)).astype(np.uint8)
+        centers = np.zeros((N, 2), np.float32)
+        for i in range(N):
+            # high-frequency texture in the person region so any
+            # resolution loss shows up in the crop
+            cx, cy = 80 + 150 * i, 96 + 120 * i
+            centers[i] = (cx, cy)
+        # reference convention: scale = 1.25 * box / 200
+        scales = np.full((N, 2), 1.25 * B / 200.0, np.float32)
+        joints = np.tile(centers[:, None, :], (1, 16, 1)).astype(np.float32)
+        vis = np.ones((N, 16), np.float32)
+        widths = np.full((N,), float(F), np.float32)
+        return PoseRecords(centers=centers, scales=scales, joints=joints,
+                           vis=vis, widths=widths, images=imgs)
+
+
+def test_crop_aware_canvas_matches_host_fullres_warp():
+    """VERDICT round-1 #5: with crop-aware packing the device crop must
+    match the host's full-resolution cv2 warp closely; whole-image
+    packing (the old fixed canvas) must be measurably worse."""
+    ds = _TinyPersonDS()
+    spec = make_spec(ds)
+    idx = [0, 1]
+    host = ds.host_batch(idx, np.random.RandomState(0), train=False)
+    ref = host['image']                                  # [B,256,256,3] 0-255
+
+    def device_crop(crop_aware):
+        batch = ds.canvas_batch(idx, canvas=256, crop_aware=crop_aware)
+        out = augment_batch(batch, jax.random.PRNGKey(0), spec, False)
+        img = np.asarray(out['image'])
+        mean = np.asarray(spec.mean); std = np.asarray(spec.std)
+        return (img * std + mean) * 255.0                # un-normalize
+
+    crop = device_crop(True)
+    whole = device_crop(False)
+    err_crop = np.abs(crop - ref)
+    err_whole = np.abs(whole - ref)
+    # crop-aware: q=1 native-res packing -> near-exact bilinear parity
+    assert np.median(err_crop) < 1.0, np.median(err_crop)
+    assert np.percentile(err_crop, 99) < 4.0, np.percentile(err_crop, 99)
+    # whole-image canvas downscales 512 -> 256 before the crop: blurred
+    assert np.median(err_whole) > 5 * max(np.median(err_crop), 0.2), (
+        np.median(err_whole), np.median(err_crop))
+
+
+def test_crop_aware_train_mode_covers_rotation_and_flip():
+    """Train-time jitter/rotation/flip must stay inside the packed
+    region. Oracle: a frame-sized whole-image canvas (q=1, lossless) —
+    identical native-resolution sampling, so the crop-aware 256 canvas
+    must reproduce it almost exactly under the same draws."""
+    ds = _TinyPersonDS()
+    ds.is_train = True
+    spec = make_spec(ds)
+    idx = [0, 1]
+    for key in range(4):
+        k = jax.random.PRNGKey(key)
+        a = augment_batch(ds.canvas_batch(idx, canvas=256, crop_aware=True),
+                          k, spec, True)
+        b = augment_batch(ds.canvas_batch(idx, canvas=512, crop_aware=False),
+                          k, spec, True)
+        # identical draws -> identical geometry and (native-res both
+        # ways) identical resampled pixels up to f32 coordinate rounding
+        np.testing.assert_allclose(np.asarray(a['target']),
+                                   np.asarray(b['target']), atol=1e-5)
+        diff = np.abs(np.asarray(a['image']) - np.asarray(b['image']))
+        assert np.median(diff) < 0.02, (key, np.median(diff))
+        assert np.percentile(diff, 99) < 0.5, (key, np.percentile(diff, 99))

@@ -103,3 +103,34 @@ def test_inference_wrappers(rng):
     assert blurred.shape == hm.shape
     np.testing.assert_allclose(blurred.max(axis=(2, 3)), hm.max(axis=(2, 3)),
                                rtol=1e-4)
+
+
+def test_collect_samples_tool(tmp_path):
+    """download_sample.py parity (copy annotated images to a dest dir),
+    with the hardcoded destination fixed to --dest."""
+    import importlib.util as ilu
+    import json
+    spec = ilu.spec_from_file_location(
+        'collect_samples',
+        os.path.join(os.path.dirname(__file__), '..', 'tools',
+                     'collect_samples.py'))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img_dir = tmp_path / 'imgs' / 'val2017'
+    img_dir.mkdir(parents=True)
+    for i in range(3):
+        (img_dir / f'{i:012d}.jpg').write_bytes(b'\xff\xd8fake')
+    anno = [{'img_paths': f'{i:012d}.jpg', 'isValidation': True}
+            for i in range(3)] + [{'img_paths': 'missing.jpg',
+                                   'isValidation': True}]
+    ann_file = tmp_path / 'a.json'
+    ann_file.write_text(json.dumps(anno))
+    dest = tmp_path / 'out'
+
+    args = type('Args', (), {'json': str(ann_file),
+                             'image': str(tmp_path / 'imgs'),
+                             'dest': str(dest), 'type': 'coco',
+                             'limit': 1000})()
+    assert mod.main(args) == 0
+    assert sorted(os.listdir(dest)) == [f'{i:012d}.jpg' for i in range(3)]

@@ -30,3 +30,65 @@ def test_trainer_trains_on_mesh(tmp_path, dp, tp):
     best = trainer.train()
     assert np.isfinite(best)
     assert int(trainer.state.step) == trainer.steps_per_epoch
+
+
+def _model_axis_shards(params):
+    """Count param leaves whose sharding spec uses the 'model' axis."""
+    n = 0
+    for leaf in jax.tree.leaves(params):
+        spec = getattr(leaf.sharding, 'spec', None)
+        if spec is not None and 'model' in jax.tree.leaves(tuple(spec)):
+            n += 1
+    return n
+
+
+def test_resume_under_tensor_parallel_keeps_sharding(tmp_path):
+    """VERDICT round 1 #4: _resume must re-apply shard_params — a
+    restored TP run must NOT silently train replicated."""
+    import dataclasses
+    cfg = _cfg(tmp_path, 4, 2)
+    trainer = Trainer(cfg, verbose=False)
+    n_sharded = _model_axis_shards(trainer.state.params)
+    assert n_sharded > 0, 'TP init produced no model-axis shardings'
+    trainer.train()
+    # save explicitly ('best' is only written when val PCK improves,
+    # which one random epoch need not achieve)
+    from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
+    ckpt = str(tmp_path / 'ckpts' / 'manual')
+    ckpt_lib.save(ckpt, trainer.state, epoch=1, best_acc=trainer.best_acc)
+
+    cfg2 = dataclasses.replace(
+        cfg, common=dataclasses.replace(cfg.common, resume=ckpt))
+    trainer2 = Trainer(cfg2, verbose=False)
+    assert trainer2.start_epoch == 1
+    assert _model_axis_shards(trainer2.state.params) == n_sharded
+    assert np.isfinite(float(trainer2.best_acc))
+
+
+def test_trainer_explicit_collectives_path(tmp_path):
+    """TRAIN.explicit_collectives routes through shard_map+psum; one
+    epoch trains to a finite loss, and sync_bn=False (per-replica BN,
+    the reference DataParallel behavior) also runs."""
+    for sync_bn in (True, False):
+        cfg = load_config(raw={
+            'DATASET': {'name': 'synthetic', 'inp_res': 64, 'out_res': 16,
+                        'sigma': 1, 'scale_factor': 0.25, 'rot_factor': 30,
+                        'num_samples': 16},
+            'MODEL': {'arch': 'hg', 'num_stacks': 1},
+            'TRAIN': {'epochs': 1, 'train_batch': 8, 'val_batch': 8,
+                      'precision': 'f32', 'data_parallel': 8,
+                      'explicit_collectives': True, 'sync_bn': sync_bn},
+            'COMMON': {'checkpoint_dir': str(tmp_path / f'sb{sync_bn}'),
+                       'snapshot': 5, 'seed': 0},
+        })
+        trainer = Trainer(cfg, verbose=False)
+        best = trainer.train()
+        assert np.isfinite(best)
+        assert int(trainer.state.step) == trainer.steps_per_epoch
+
+
+def test_explicit_collectives_rejects_tp():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_config(raw={'TRAIN': {'explicit_collectives': True,
+                                   'model_parallel': 2}})

@@ -41,10 +41,20 @@ def _prep(image_path, res, mean, std):
     return frame, x[None]
 
 
-def _decode_draw(frame, heatmaps):
+def _decode_draw(frame, heatmaps, skeleton=False):
     import cv2
-    from hourglass_pose_estimation_tpu.ops.decode import decode_simple_argmax
     h, w = frame.shape[:2]
+    if skeleton:
+        # NMS multi-peak decode (on device) + skeleton-line rendering —
+        # the reference's post_process_heatmap + visualize path
+        # (openvino_visualizer/utils.py:35-96).
+        from hourglass_pose_estimation_tpu.ops.decode import decode_nms_peaks
+        from hourglass_pose_estimation_tpu.utils.visualize import draw_skeleton
+        kps = np.asarray(decode_nms_peaks(heatmaps))[0]
+        hm_h, hm_w = heatmaps.shape[1:3]
+        return draw_skeleton(frame, kps, scale_x=w / (hm_w * 4.0),
+                             scale_y=h / (hm_h * 4.0))
+    from hourglass_pose_estimation_tpu.ops.decode import decode_simple_argmax
     kps, maxv = decode_simple_argmax(heatmaps, (256, 256), (w, h))
     kps = np.asarray(kps)[0]
     for x, y in kps:
@@ -73,7 +83,7 @@ def run_sync(args):
     ts = np.asarray(ts) * 1000
     print(f'avg {ts.mean():.3f} ms | median {np.median(ts):.3f} ms | '
           f'min {ts.min():.3f} ms over {args.iters} iters')
-    out_img = _decode_draw(frame, np.asarray(out))
+    out_img = _decode_draw(frame, np.asarray(out), skeleton=args.skeleton)
     if args.out:
         import cv2
         cv2.imwrite(args.out, out_img)
@@ -99,7 +109,8 @@ def run_async(args):
 
     # compile outside the timed region (model + decode kernels)
     warm_frame, warm_x = _prep(frames[0], args.res, mean, std)
-    _decode_draw(warm_frame.copy(), np.asarray(fn(warm_x)))
+    _decode_draw(warm_frame.copy(), np.asarray(fn(warm_x)),
+                 skeleton=args.skeleton)
 
     t_start = time.perf_counter()
     prev = None                                    # (path, frame, pending out)
@@ -109,13 +120,14 @@ def run_async(args):
         pending = fn(x)                            # dispatched, not awaited
         if prev is not None:
             p_path, p_frame, p_out = prev
-            img = _decode_draw(p_frame, np.asarray(p_out))  # syncs p_out
+            img = _decode_draw(p_frame, np.asarray(p_out),
+                               skeleton=args.skeleton)  # syncs p_out
             cv2.imwrite(os.path.join(args.out_dir,
                                      os.path.basename(p_path)), img)
             n += 1
         prev = (path, frame, pending)
     p_path, p_frame, p_out = prev
-    img = _decode_draw(p_frame, np.asarray(p_out))
+    img = _decode_draw(p_frame, np.asarray(p_out), skeleton=args.skeleton)
     cv2.imwrite(os.path.join(args.out_dir, os.path.basename(p_path)), img)
     n += 1
     dt = time.perf_counter() - t_start
@@ -134,12 +146,15 @@ def main(argv=None):
     ps.add_argument('--dataset', default='mscoco')
     ps.add_argument('--profile', default='')
     ps.add_argument('--out', default='')
+    ps.add_argument('--skeleton', action='store_true',
+                    help='NMS decode + skeleton-line rendering')
     pa = sub.add_parser('async')
     pa.add_argument('model')
     pa.add_argument('frame_dir')
     pa.add_argument('out_dir')
     pa.add_argument('--res', type=int, default=256)
     pa.add_argument('--dataset', default='mscoco')
+    pa.add_argument('--skeleton', action='store_true')
     args = p.parse_args(argv)
     return run_sync(args) if args.mode == 'sync' else run_async(args)
 
