@@ -34,6 +34,8 @@ TARGET = 4.0 * A100_ESTIMATE_IMG_S
 BATCH = int(os.environ.get('BENCH_BATCH', '64'))
 STACKS = int(os.environ.get('BENCH_STACKS', '8'))
 RES = int(os.environ.get('BENCH_RES', '256'))
+REMAT = os.environ.get('BENCH_REMAT', '0') == '1'
+BN_SAMPLES = int(os.environ.get('BENCH_BN_SAMPLES', '0'))
 WARMUP = 3
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 
@@ -50,7 +52,8 @@ def main():
                    sigma=1, scale_factor=0.25, rot_factor=30)
     spec = make_spec(ds)
     model = HourglassNet(num_stacks=STACKS, num_blocks=1, num_classes=16,
-                         mobile=False, skip_mode='sum', dtype=jnp.bfloat16)
+                         mobile=False, skip_mode='sum', dtype=jnp.bfloat16,
+                         remat=REMAT, bn_stat_samples=BN_SAMPLES)
     tx = make_optimizer(2.5e-3, [35, 45], 0.1, 100)
     state = init_state(model, jax.random.PRNGKey(0), (1, RES, RES, 3), tx)
     step = make_train_step(spec, device_pipeline=True)

@@ -99,6 +99,11 @@ class TrainConfig:
     # silent per-replica BatchNorm statistics.
     explicit_collectives: bool = False
     sync_bn: bool = True
+    # per-stack rematerialization (activation memory <-> ~1/3 fwd FLOPs)
+    remat: bool = False
+    # BN batch statistics from the first k samples only (0 = full batch,
+    # exact reference parity; see models/norm.py ghost-stat BN)
+    bn_stat_samples: int = 0
 
     def __post_init__(self):
         if self.precision not in ('bf16', 'f32'):
@@ -113,6 +118,10 @@ class EvalConfig:
     flip_test: bool = False
     official: bool = False         # dataset-official metrics (PCKh / OKS)
     gt_mat: str = ''               # MPII gt_<set>.mat for PCKh
+    # export surface (scripts/export.py): fuse the keypoint decode into
+    # the artifact (frames -> keypoints) and fold BN constants
+    export_keypoints: bool = False
+    export_fold_bn: bool = True
 
     def __post_init__(self):
         if self.decode not in ('quarter', 'dark'):

@@ -18,17 +18,102 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_inference_fn(model, variables):
-    """Last-stack heatmaps for a normalized NHWC batch (export surface)."""
+def fold_batchnorm(variables, eps: float = 1e-5):
+    """Fold BN running statistics into the BN affine parameters.
+
+    Inference-graph optimization (the OpenVINO model-optimizer analogue
+    for the reference's deploy path): every batch-norm node's
+    (mean, var) is absorbed into its (scale, bias) —
+    scale' = scale/sqrt(var+eps), bias' = bias - mean*scale' — and the
+    stored statistics are reset to the identity (mean 0, var 1-eps, so
+    rsqrt(var+eps) == 1). `apply(train=False)` on the folded variables
+    is numerically identical but each BN is one constant multiply-add
+    with no rsqrt, and the folded affine constants serialize into the
+    exported artifact.
+    """
+    from collections.abc import Mapping
+
+    def copy_tree(t):   # fresh mutable containers, shared leaves
+        if isinstance(t, Mapping):
+            return {k: copy_tree(v) for k, v in t.items()}
+        return t
+
+    params = copy_tree(variables['params'])
+    stats = copy_tree(variables.get('batch_stats', {}))
+
+    def walk(p_node, s_node):
+        if isinstance(s_node, dict) and 'mean' in s_node and 'var' in s_node:
+            k = p_node['scale'] / jnp.sqrt(s_node['var'] + eps)
+            p_node['bias'] = p_node['bias'] - s_node['mean'] * k
+            p_node['scale'] = k
+            s_node['mean'] = jnp.zeros_like(s_node['mean'])
+            s_node['var'] = jnp.ones_like(s_node['var']) * (1.0 - eps)
+            return
+        if isinstance(s_node, dict):
+            for key, child in s_node.items():
+                if key in p_node:
+                    walk(p_node[key], child)
+
+    walk(params, stats)
+    return {'params': params, 'batch_stats': stats}
+
+
+def make_inference_fn(model, variables, decode: Optional[str] = None,
+                      fold_bn: bool = False, weights_dtype=None):
+    """Inference surface for a normalized NHWC batch.
+
+    decode=None returns last-stack heatmaps (reference parity,
+    estimator.py:88). decode='quarter'|'dark' fuses the keypoint decode
+    into the same XLA program and returns (keypoints [B, J, 2] in
+    network-INPUT-frame pixels, maxvals [B, J, 1]) — the deploy surface
+    never leaves the device with heatmaps. fold_bn folds batch-norm
+    statistics into affine constants; weights_dtype (e.g. jnp.bfloat16)
+    casts conv kernels for half the weight HBM traffic.
+    """
+    if fold_bn:
+        variables = fold_batchnorm(variables)
+    if weights_dtype is not None:
+        def cast(path, x):
+            name = jax.tree_util.keystr(path)
+            # conv kernels only; BN affine + biases stay f32
+            if x.ndim == 4 and 'kernel' in name:
+                return x.astype(weights_dtype)
+            return x
+        variables = {
+            'params': jax.tree_util.tree_map_with_path(
+                cast, variables['params']),
+            'batch_stats': variables.get('batch_stats', {})}
+
+    if decode is None:
+        def fn(images):
+            return model.apply(variables, images, train=False)[-1]
+        return fn
+
+    from hourglass_pose_estimation_tpu.ops.decode import (
+        decode_quarter_offset, decode_dark)
+    base = decode_dark if decode == 'dark' else decode_quarter_offset
+
     def fn(images):
-        return model.apply(variables, images, train=False)[-1]
+        hms = model.apply(variables, images, train=False)[-1]
+        B = hms.shape[0]
+        R = images.shape[1]
+        centers = jnp.tile(jnp.array([R / 2.0, R / 2.0], jnp.float32), (B, 1))
+        scales = jnp.tile(jnp.array([R / 200.0, R / 200.0], jnp.float32),
+                          (B, 1))
+        kps, maxv = base(hms, centers, scales, zero_based=True)
+        return kps, maxv
     return fn
 
 
 def export_stablehlo(model, variables, input_shape: Tuple[int, ...],
-                     path: str) -> str:
-    """Serialize to StableHLO bytes at `path` (.bin). Returns the path."""
-    fn = make_inference_fn(model, variables)
+                     path: str, decode: Optional[str] = None,
+                     fold_bn: bool = False) -> str:
+    """Serialize to StableHLO bytes at `path` (.bin). Returns the path.
+
+    With `decode` set, the artifact maps frames -> keypoints (decode
+    fused on device); `fold_bn` bakes folded batch-norm constants in.
+    """
+    fn = make_inference_fn(model, variables, decode=decode, fold_bn=fold_bn)
     exported = jax.export.export(jax.jit(fn))(
         jax.ShapeDtypeStruct(input_shape, jnp.float32))
     blob = exported.serialize()

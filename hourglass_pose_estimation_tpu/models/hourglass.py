@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from hourglass_pose_estimation_tpu.models.modules import (
     Bottleneck, Hourglass, ResidualChain)
+from hourglass_pose_estimation_tpu.models.norm import BatchNorm
 
 
 class HourglassNet(nn.Module):
@@ -40,6 +41,12 @@ class HourglassNet(nn.Module):
     out_dtype: Any = jnp.float32
     # route decoder merges through the Pallas fused upsample+add kernel
     fuse_upsample: bool = False
+    # rematerialize each hourglass in the backward pass (trades ~1/3
+    # extra forward FLOPs for activation memory)
+    remat: bool = False
+    # BN batch statistics from the first k samples only (0 = full batch;
+    # see models/norm.py — ghost-stat BN, an HBM-traffic optimization)
+    bn_stat_samples: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,30 +60,40 @@ class HourglassNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=True, dtype=dt, param_dtype=jnp.float32,
                     name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='bn1')(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=jnp.float32,
+                      stat_samples=self.bn_stat_samples, name='bn1')(x)
         x = nn.relu(x).astype(dt)
         # stem residuals mirror the reference's inplanes bookkeeping
         # (hourglass.py:21-24): 64 -> 128, pool, 128 -> 256, 256 -> 256.
-        x = Bottleneck(64, mobile=self.mobile, dtype=dt, name='layer1')(x, train=train)
+        bneck = lambda planes, name: Bottleneck(
+            planes, mobile=self.mobile, dtype=dt,
+            bn_stat_samples=self.bn_stat_samples, name=name)
+        x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = Bottleneck(128, mobile=self.mobile, dtype=dt, name='layer2')(x, train=train)
-        x = Bottleneck(self.num_feats, mobile=self.mobile, dtype=dt,
-                       name='layer3')(x, train=train)
+        x = bneck(128, 'layer2')(x, train=train)
+        x = bneck(self.num_feats, 'layer3')(x, train=train)
 
         ch = self.num_feats * 2
+        # nn.remat(Hourglass) keeps param names identical; `train` must
+        # be positional (static argnum 2, after (module, x)).
+        HG = (nn.remat(Hourglass, static_argnums=(2,)) if self.remat
+              else Hourglass)
         outs = []
         for i in range(self.num_stacks):
-            y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
-                          mobile=self.mobile, skip_mode=self.skip_mode,
-                          dtype=dt, fuse_upsample=self.fuse_upsample,
-                          name=f'hg{i}')(x, train=train)
+            y = HG(self.num_feats, depth=4, num_blocks=self.num_blocks,
+                   mobile=self.mobile, skip_mode=self.skip_mode,
+                   dtype=dt, fuse_upsample=self.fuse_upsample,
+                   bn_stat_samples=self.bn_stat_samples,
+                   name=f'hg{i}')(x, train)
             y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
-                              dt, name=f'res{i}')(y, train=train)
+                              dt, bn_stat_samples=self.bn_stat_samples,
+                              name=f'res{i}')(y, train=train)
             y = conv1x1(ch, f'fc{i}')(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name=f'fc_bn{i}')(y)
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=jnp.float32,
+                          stat_samples=self.bn_stat_samples,
+                          name=f'fc_bn{i}')(y)
             y = nn.relu(y).astype(dt)
             score = conv1x1(self.num_classes, f'score{i}')(y)
             outs.append(score.astype(self.out_dtype))
@@ -100,6 +117,8 @@ def hg(**kwargs):
         mobile=kwargs.get('mobile', False),
         skip_mode=kwargs.get('skip_mode', 'sum'),
         dtype=kwargs.get('dtype', jnp.bfloat16),
+        remat=kwargs.get('remat', False),
+        bn_stat_samples=kwargs.get('bn_stat_samples', 0),
     )
 
 

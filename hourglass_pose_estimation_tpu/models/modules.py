@@ -29,7 +29,16 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from hourglass_pose_estimation_tpu.models.norm import BatchNorm
+
 EXPANSION = 2
+
+
+def _fused_upsample_add(x, up1):
+    """Pallas fused nearest-upsample + skip-add (lazy import at module
+    level would pull the TPU-only kernel into CPU test collection)."""
+    from hourglass_pose_estimation_tpu.ops.pallas import upsample2x_add_pallas
+    return upsample2x_add_pallas(x, up1)
 
 
 def upsample2x_nearest(x: jax.Array) -> jax.Array:
@@ -51,14 +60,15 @@ class Bottleneck(nn.Module):
     stride: int = 1
     mobile: bool = False
     dtype: Any = jnp.bfloat16
+    bn_stat_samples: int = 0    # 0 = full-batch BN statistics (parity)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         c_out = self.planes * EXPANSION
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+            dtype=jnp.float32, stat_samples=self.bn_stat_samples, name=name)
         conv = lambda feats, k, s, groups, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             feature_group_count=groups, use_bias=True,
@@ -82,11 +92,13 @@ class ResidualChain(nn.Module):
     num_blocks: int = 1
     mobile: bool = False
     dtype: Any = jnp.bfloat16
+    bn_stat_samples: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_blocks):
             x = Bottleneck(self.planes, mobile=self.mobile, dtype=self.dtype,
+                           bn_stat_samples=self.bn_stat_samples,
                            name=f'block{i}')(x, train=train)
         return x
 
@@ -109,12 +121,14 @@ class Hourglass(nn.Module):
     # use the Pallas fused nearest-upsample+skip-add kernel for the
     # decoder merge (sum mode only; TPU backend only)
     fuse_upsample: bool = False
+    bn_stat_samples: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.skip_mode in ('sum', 'concat')
         chain = lambda name: ResidualChain(
-            self.planes, self.num_blocks, self.mobile, self.dtype, name=name)
+            self.planes, self.num_blocks, self.mobile, self.dtype,
+            bn_stat_samples=self.bn_stat_samples, name=name)
 
         # Encoder: at each level n = depth..1, the skip branch hg[n-1][0]
         # sees the pre-pool features; the trunk is pooled then hg[n-1][1].
@@ -142,9 +156,7 @@ class Hourglass(nn.Module):
             up1 = skips.pop()
             if self.skip_mode == 'sum':
                 if self.fuse_upsample:
-                    from hourglass_pose_estimation_tpu.ops.pallas import (
-                        upsample2x_add_pallas)
-                    x = upsample2x_add_pallas(x, up1)
+                    x = _fused_upsample_add(x, up1)
                 else:
                     x = up1 + upsample2x_nearest(x)
             else:

@@ -1,0 +1,69 @@
+"""BatchNorm with optional sampled batch statistics (ghost-stat BN).
+
+Drop-in for `flax.linen.BatchNorm` (same param / batch_stats layout:
+params {scale, bias}, batch_stats {mean, var}, fast-variance single
+pass) with one extension: `stat_samples=k` computes the train-mode
+batch statistics from only the first k samples of the batch while
+normalizing (and training on) the full batch.
+
+Why: on TPU the BN statistic reductions are pure HBM reads that XLA
+cannot fuse into the producing convolutions — they were ~34 ms of the
+221 ms 8-stack train step (BENCH_NOTES round 1). Sampling k of B
+samples cuts that traffic by B/k. Statistically this is the well-known
+ghost-batch-norm estimator (smaller-sample statistics; if anything a
+mild regularizer); `stat_samples=0` (default) is exact full-batch
+parity. The running averages always update from the same (sampled)
+statistics that normalized the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class BatchNorm(nn.Module):
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    stat_samples: int = 0      # 0 = full batch (flax parity)
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = (self.use_running_average
+                  if use_running_average is None else use_running_average)
+        assert use_ra is not None, 'use_running_average must be given'
+        C = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((C,), jnp.float32))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xs = x
+            k = self.stat_samples
+            if k and 0 < k < x.shape[0]:
+                xs = x[:k]
+            xf = xs.astype(jnp.float32)
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            # fast variance: E[x^2] - E[x]^2 (flax use_fast_variance)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * mul + bias
+        dtype = self.dtype or x.dtype
+        return y.astype(dtype)

@@ -55,7 +55,8 @@ class Trainer:
                                num_blocks=mc.num_blocks,
                                num_classes=self.num_classes,
                                mobile=mc.mobile, skip_mode=mc.skip_mode,
-                               dtype=dtype)
+                               dtype=dtype, remat=tc.remat,
+                               bn_stat_samples=tc.bn_stat_samples)
 
         ds_kwargs = dict(image_path=dc.image_path,
                          annotation_path=dc.annotation_path,

@@ -45,9 +45,11 @@ def main(argv):
 
     out_dir = os.path.join(cfg.common.checkpoint_dir, 'export')
     shape = (1, cfg.dataset.inp_res, cfg.dataset.inp_res, 3)
+    decode = cfg.eval.decode if cfg.eval.export_keypoints else None
     p1 = export_stablehlo(model, variables, shape,
-                          os.path.join(out_dir, 'model.stablehlo'))
-    print(f'wrote {p1}')
+                          os.path.join(out_dir, 'model.stablehlo'),
+                          decode=decode, fold_bn=cfg.eval.export_fold_bn)
+    print(f'wrote {p1}' + (f' (fused {decode} decode)' if decode else ''))
     p2 = export_savedmodel(model, variables, shape,
                            os.path.join(out_dir, 'savedmodel'))
     print(f'wrote {p2}' if p2 else 'tensorflow unavailable; SavedModel skipped')

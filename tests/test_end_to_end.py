@@ -161,3 +161,36 @@ def test_estimator_derives_num_classes_from_dataset():
     assert Estimator._joints_for('crowdpose') == 14
     with pytest.raises(ValueError):
         Estimator._joints_for('unknown_ds')
+
+
+def test_fold_batchnorm_identical_outputs():
+    """Folded-BN inference graph is numerically identical (and the
+    decode-fused export surface returns keypoints, not heatmaps)."""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.export import (
+        fold_batchnorm, make_inference_fn)
+    import jax
+
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                         dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    init = model.init(jax.random.PRNGKey(0), x, train=False)
+    # one train-mode pass makes the running statistics non-trivial
+    _, mutated = model.apply(init, x, train=True, mutable=['batch_stats'])
+    variables = {'params': init['params'],
+                 'batch_stats': mutated['batch_stats']}
+
+    ref = model.apply(variables, x, train=False)[-1]
+    folded = fold_batchnorm(variables)
+    got = model.apply(folded, x, train=False)[-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # original variables untouched (fold copies containers)
+    again = model.apply(variables, x, train=False)[-1]
+    np.testing.assert_allclose(np.asarray(again), np.asarray(ref))
+
+    fn = make_inference_fn(model, variables, decode='quarter', fold_bn=True)
+    kps, maxv = fn(x)
+    assert kps.shape == (2, 4, 2) and maxv.shape[:2] == (2, 4)
+    # keypoints are in network-input pixels
+    assert float(np.max(np.asarray(kps))) <= 64.5

@@ -97,3 +97,47 @@ def test_factory_kwarg_surface():
     assert isinstance(m, HourglassNet)
     with pytest.raises(KeyError):
         get_model('nope')
+
+
+def test_remat_preserves_params_and_outputs():
+    """nn.remat(Hourglass) must not change param names, counts, or
+    forward outputs (same weights, same result)."""
+    import jax
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    a = HourglassNet(num_stacks=2, num_blocks=1, num_classes=4,
+                     dtype=jnp.float32, remat=False)
+    b = HourglassNet(num_stacks=2, num_blocks=1, num_classes=4,
+                     dtype=jnp.float32, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    va = a.init(jax.random.PRNGKey(1), x, train=False)
+    vb = b.init(jax.random.PRNGKey(1), x, train=False)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+    ya = a.apply(va, x, train=False)
+    yb = b.apply(va, x, train=False)      # same weights through remat
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bn_stat_samples_trains_and_matches_fullbatch_at_k_eq_B():
+    """ghost-stat BN: k=B is exactly full-batch; k<B still trains."""
+    import jax
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    full = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                        dtype=jnp.float32, bn_stat_samples=0)
+    same = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                        dtype=jnp.float32, bn_stat_samples=4)
+    sub = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                       dtype=jnp.float32, bn_stat_samples=2)
+    v = full.init(jax.random.PRNGKey(1), x, train=False)
+    yf, mf = full.apply(v, x, train=True, mutable=['batch_stats'])
+    ys, ms = same.apply(v, x, train=True, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
+    yk, mk = sub.apply(v, x, train=True, mutable=['batch_stats'])
+    assert np.isfinite(np.asarray(yk)).all()
+    # subset stats differ from full-batch stats
+    d = jax.tree.map(lambda p, q: float(np.abs(np.asarray(p) -
+                                               np.asarray(q)).max()),
+                     mf['batch_stats'], mk['batch_stats'])
+    assert max(jax.tree.leaves(d)) > 0
