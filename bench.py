@@ -40,7 +40,12 @@ WARMUP = 3
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 
 
-def main():
+def build():
+    """Construct (step, state, raw, rng) for the headline config.
+
+    Shared with tools/profile_step.py so profiles measure exactly the
+    benchmarked program.
+    """
     import jax
     import jax.numpy as jnp
     from hourglass_pose_estimation_tpu.models import HourglassNet
@@ -61,6 +66,11 @@ def main():
     raw = ds.canvas_batch(list(range(BATCH)), canvas=RES)
     raw = {k: jax.device_put(v) for k, v in raw.items()}
     rng = jax.random.PRNGKey(1)
+    return step, state, raw, rng
+
+
+def main():
+    step, state, raw, rng = build()
 
     # one base key: the step folds in state.step on device (host-side
     # per-step key splitting is a device round-trip on this platform).

@@ -105,6 +105,80 @@ class HourglassNet(nn.Module):
         return jnp.stack(outs, axis=0)
 
 
+class HourglassStem(nn.Module):
+    """The pre-stack trunk of HourglassNet (conv1 .. layer3).
+
+    Param names match HourglassNet exactly (conv1, bn1, layer1-3) so a
+    trained HourglassNet checkpoint splits losslessly into
+    (stem, stacks) for the pipeline-parallel formulation
+    (parallel/pipeline.py). Mirrors the reference's inplanes bookkeeping
+    (/root/reference/src/models/hourglass.py:21-24).
+    """
+    num_feats: int = 128
+    mobile: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        x = x.astype(dt)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                    name='conv1')(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=jnp.float32, name='bn1')(x)
+        x = nn.relu(x).astype(dt)
+        bneck = lambda planes, name: Bottleneck(
+            planes, mobile=self.mobile, dtype=dt, name=name)
+        x = bneck(64, 'layer1')(x, train=train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = bneck(128, 'layer2')(x, train=train)
+        x = bneck(self.num_feats, 'layer3')(x, train=train)
+        return x
+
+
+class HourglassStack(nn.Module):
+    """ONE hourglass stack: hg + res + fc/fc_bn + score + feedback.
+
+    Returns (score [B, H/4, W/4, J], x_next). Param names match
+    HourglassNet's per-stack names minus the index (hg, res, fc, fc_bn,
+    score, fc_back, score_back), so stacks vmap/scan into a single
+    stacked tree with a leading stack axis — the unit of pipeline
+    parallelism. The feedback convs exist on EVERY stack (HourglassNet
+    omits them on the last) to keep the stacked tree homogeneous; the
+    last stage simply discards x_next.
+    """
+    num_feats: int = 128
+    num_blocks: int = 1
+    num_classes: int = 16
+    mobile: bool = False
+    skip_mode: str = 'sum'
+    dtype: Any = jnp.bfloat16
+    out_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        ch = self.num_feats * 2
+        conv1x1 = lambda feats, name: nn.Conv(
+            feats, (1, 1), use_bias=True, dtype=dt,
+            param_dtype=jnp.float32, name=name)
+        y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
+                      mobile=self.mobile, skip_mode=self.skip_mode,
+                      dtype=dt, name='hg')(x, train)
+        y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
+                          dt, name='res')(y, train=train)
+        y = conv1x1(ch, 'fc')(y)
+        y = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=jnp.float32, name='fc_bn')(y)
+        y = nn.relu(y).astype(dt)
+        score = conv1x1(self.num_classes, 'score')(y)
+        fc_b = conv1x1(ch, 'fc_back')(y)
+        score_b = conv1x1(ch, 'score_back')(score)
+        x_next = x + fc_b + score_b
+        return score.astype(self.out_dtype), x_next
+
+
 def hg(**kwargs):
     """Factory with the reference's kwarg surface (hourglass.py:93-97).
 

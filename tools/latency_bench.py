@@ -66,7 +66,10 @@ def main(argv=None):
                          skip_mode='sum', dtype=jnp.bfloat16,
                          out_dtype=jnp.float32)
     x = jnp.zeros((1, args.res, args.res, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # params/stats are resolution-independent: init at 64^2 to avoid
+    # compiling a second full-res forward program just for init
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
 
     fn = jax.jit(make_inference_fn(
         model, variables,
