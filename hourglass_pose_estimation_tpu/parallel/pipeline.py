@@ -31,8 +31,7 @@ is masked — uniform SPMD control flow, no data-dependent branching.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -26,16 +26,34 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np
 
 
-def measure(fn, arg, iters):
-    out = fn(arg)
-    fetch = (lambda o: [np.asarray(x) for x in o]) \
-        if isinstance(out, tuple) else (lambda o: np.asarray(o))
-    fetch(out)                                   # compile + warm
+def measure_chain(fn, arg, chain, reps):
+    """Median per-call latency over `reps` chains of `chain` calls.
+
+    The tunnel round trip is ~26-45 ms and JITTERS by >15 ms run to run,
+    so single-call-minus-RTT timing is garbage. Instead each rep runs
+    `chain` calls serialized through a data dependency (the next input
+    is perturbed by a scalar from the previous output) and pays ONE
+    value fetch; the RTT amortizes to RTT/chain and its jitter with it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chained(x, salt):
+        out = fn(x + salt * 1e-30)
+        first = out[0] if isinstance(out, tuple) else out
+        return out, first.ravel()[0].astype(jnp.float32)
+
+    run = jax.jit(chained)
+    out, salt = run(arg, jnp.float32(0))
+    float(salt)                                  # compile + warm
     ts = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        fetch(fn(arg))                           # value fetch bounds it
-        ts.append(time.perf_counter() - t0)
+        salt = jnp.float32(0)
+        for _ in range(chain):
+            out, salt = run(arg, salt)
+        float(salt)                              # one fetch bounds all
+        ts.append((time.perf_counter() - t0) / chain)
     return np.asarray(ts) * 1000.0
 
 
@@ -44,7 +62,8 @@ def main(argv=None):
     p.add_argument('--stacks', type=int, default=8)
     p.add_argument('--mobile', action='store_true')
     p.add_argument('--res', type=int, default=256)
-    p.add_argument('--iters', type=int, default=30)
+    p.add_argument('--iters', type=int, default=10)
+    p.add_argument('--chain', type=int, default=25)
     p.add_argument('--decode', default='quarter',
                    choices=['quarter', 'dark', 'none'])
     p.add_argument('--no-fold', action='store_true')
@@ -55,11 +74,6 @@ def main(argv=None):
     import jax.numpy as jnp
     from hourglass_pose_estimation_tpu.models import HourglassNet
     from hourglass_pose_estimation_tpu.export import make_inference_fn
-
-    # tunnel round-trip floor: a 1-op program, value-fetched
-    one = jax.jit(lambda x: x + 1.0)
-    rtt = measure(one, jnp.zeros((8,), jnp.float32), args.iters)
-    rtt_ms = float(np.median(rtt))
 
     model = HourglassNet(num_stacks=args.stacks, num_blocks=1,
                          num_classes=16, mobile=args.mobile,
@@ -76,12 +90,20 @@ def main(argv=None):
         decode=None if args.decode == 'none' else args.decode,
         fold_bn=not args.no_fold,
         weights_dtype=None if args.no_bf16 else jnp.bfloat16))
-    ts = measure(fn, x, args.iters)
+
+    # residual per-call overhead floor measured the same chained way
+    # with a trivial 1-op program (dispatch + amortized RTT)
+    probe = jnp.zeros((16, 2), jnp.float32)
+    rtt = measure_chain(lambda t: t + 1, probe, args.chain, args.iters)
+    rtt_ms = float(np.median(rtt))
+
+    ts = measure_chain(fn, x, args.chain, args.iters)
     med = float(np.median(ts))
     name = f'{args.stacks}-stack{" mobile" if args.mobile else ""}'
     print(f'{name} {args.res}^2 decode={args.decode} '
           f'fold={not args.no_fold} bf16w={not args.no_bf16}: '
-          f'median {med:.2f} ms raw | rtt floor {rtt_ms:.2f} ms | '
+          f'median {med:.2f} ms/call (chain={args.chain}) | '
+          f'per-call floor {rtt_ms:.2f} ms | '
           f'device-side ~{med - rtt_ms:.2f} ms '
           f'(min {ts.min():.2f}, p90 {np.percentile(ts, 90):.2f})')
     return 0
