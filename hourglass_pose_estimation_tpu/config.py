@@ -101,6 +101,10 @@ class TrainConfig:
     sync_bn: bool = True
     # per-stack rematerialization (activation memory <-> ~1/3 fwd FLOPs)
     remat: bool = False
+    # pipeline parallelism over hourglass stacks (parallel/pipeline.py):
+    # size of the 'pipe' mesh axis (1 = off) and microbatches per step
+    pipeline_parallel: int = 1
+    microbatches: int = 2
     # BN batch statistics from the first k samples only (0 = full batch,
     # exact reference parity; see models/norm.py ghost-stat BN)
     bn_stat_samples: int = 0

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from hourglass_pose_estimation_tpu.utils.transforms import (
     batched_affine_transforms, batched_apply_affine)
-from hourglass_pose_estimation_tpu.ops.warp import affine_warp
+from hourglass_pose_estimation_tpu.ops.warp import (
+    affine_warp, affine_warp_quad)
 from hourglass_pose_estimation_tpu.ops.heatmap import render_gaussian_targets
 
 
@@ -129,7 +130,13 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     row1 = jnp.stack([q * d, q * e, q * (f - oy)], axis=-1)
     inv_canvas = jnp.stack([row0, row1], axis=1)          # [B, 2, 3]
 
-    # uint8 canvases hit the packed-byte gather fast path in affine_warp
+    # uint8 canvases hit the packed-byte gather fast path in affine_warp.
+    # (affine_warp_quad — one gathered row per 2x2 output quad — was
+    # measured SLOWER in the full step (288.5 -> 249.2 img/s): the real
+    # warp's spatially coherent gather is far cheaper than the random-
+    # index probe suggested, and the quad's one-hot tap resolution adds
+    # more VPU work than the row savings buy. Kept as an op with parity
+    # tests; see BENCH_NOTES.md.)
     imgs = affine_warp(canvas, inv_canvas, (R, R))
     mean = jnp.asarray(spec.mean, jnp.float32)
     std = jnp.asarray(spec.std, jnp.float32)

@@ -73,6 +73,87 @@ def _neighborhood_operand(images):
     return flat, (Lh, Lw), unpack
 
 
+@functools.partial(jax.jit, static_argnames=("out_size", "patch"))
+def affine_warp_quad(images, inv_trans, out_size, patch: int = 6):
+    """Quad-packed warp: ONE gathered row serves a 2x2 output quad.
+
+    The single-gather warp is row-count bound (measured: 4.19M rows of
+    12B cost ~4.3x more than 1.05M rows of 48B for the same bytes), and
+    adjacent output pixels sample source points only ~scale px apart.
+    So: pack each padded source pixel's `patch`x`patch` byte
+    neighborhood into int32 lanes, gather one row per 2x2 OUTPUT QUAD
+    at the quad's min corner, and resolve each of the 4 bilinear taps
+    from the patch with weighted one-hot contractions (exact zeros plus
+    the two lerp terms in the same order as `affine_warp` — results
+    match to one f32 ulp; the compiler may fuse the contraction's
+    multiply-add (FMA), re-rounding the last bit).
+
+    Requirements: uint8 source, even output dims, and the quad source
+    spread must fit the patch: max |d src| across a quad =
+    scale*(|cos|+|sin|) <= patch-3 (patch=6 covers scale <= 2.1 at any
+    rotation — the augmentation pipeline's worst case is ~1.56).
+    """
+    images = jnp.asarray(images)
+    assert images.dtype == jnp.uint8, 'quad path is uint8-only'
+    B, Hs, Ws, C = images.shape
+    w, h = int(out_size[0]), int(out_size[1])
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    K = patch
+    assert (K * K * C) % 4 == 0, (K, C)
+
+    sx, sy = _source_coords(inv_trans, w, h)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    # pack KxK byte neighborhoods into lanes (zero ring of width K)
+    P = jnp.pad(images, ((0, 0), (K, K), (K, K), (0, 0)))
+    Lh, Lw = Hs + K, Ws + K          # valid window-origin extent
+    NB = jnp.concatenate(
+        [P[:, dy:dy + Lh, dx:dx + Lw]
+         for dy in range(K) for dx in range(K)], axis=-1)  # [B,Lh,Lw,K²C]
+    packed = jax.lax.bitcast_convert_type(
+        NB.reshape(B, Lh, Lw, (K * K * C) // 4, 4), jnp.int32)
+    flat = packed.reshape(B, Lh * Lw, (K * K * C) // 4)
+
+    # quad window origin: min tap corner over the 2x2 quad (padded
+    # coords), clamped into the valid window range
+    xq = x0.reshape(B, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+    yq = y0.reshape(B, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+    bx = jnp.clip(xq.astype(jnp.int32) + K, 0, Lw - 1)
+    by = jnp.clip(yq.astype(jnp.int32) + K, 0, Lh - 1)
+    idx = (by * Lw + bx).reshape(B, (h // 2) * (w // 2), 1)
+    rows = jnp.take_along_axis(flat, idx, axis=1)        # [B,q,lanes]
+    bytes_ = jax.lax.bitcast_convert_type(rows, jnp.uint8)
+    patchb = bytes_.reshape(B, h // 2, w // 2, K, K, C)  # uint8
+
+    # resolve the 4 quad positions at quad resolution (no full-res
+    # patch materialization); x-contraction first, then y — the same
+    # order as affine_warp's top/bot lerp (two nonzero lerp terms +
+    # exact zeros; only FMA re-rounding can differ)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, K), 3)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    quads = []
+    for dy in range(2):
+        for dx in range(2):
+            ox = jnp.clip(x0i[:, dy::2, dx::2] + K - bx, 0, K - 2)
+            oy = jnp.clip(y0i[:, dy::2, dx::2] + K - by, 0, K - 2)
+            fxq = fx[:, dy::2, dx::2]
+            fyq = fy[:, dy::2, dx::2]
+            wx = ((kx == ox[..., None]) * (1.0 - fxq)
+                  + (kx == ox[..., None] + 1) * fxq)     # [B,hq,wq,K]
+            wy = ((kx == oy[..., None]) * (1.0 - fyq)
+                  + (kx == oy[..., None] + 1) * fyq)
+            rows2 = jnp.einsum('bhwklc,bhwl->bhwkc',
+                               patchb.astype(jnp.float32), wx)
+            quads.append(jnp.einsum('bhwkc,bhwk->bhwc', rows2, wy))
+    top = jnp.stack(quads[0:2], axis=3).reshape(B, h // 2, w, C)
+    bot = jnp.stack(quads[2:4], axis=3).reshape(B, h // 2, w, C)
+    return jnp.stack([top, bot], axis=2).reshape(B, h, w, C)
+
+
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def affine_warp(images, inv_trans, out_size):
     """Warp a batch of images with per-image inverse affines.

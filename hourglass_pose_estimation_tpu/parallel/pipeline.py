@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
+from hourglass_pose_estimation_tpu.utils.evaluation import accuracy
 
 
 class PipelineState(struct.PyTreeNode):
@@ -142,16 +143,10 @@ def shard_pipeline_state(state: PipelineState, mesh: Mesh) -> PipelineState:
         state, specs)
 
 
-def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
-                             num_microbatches: int, train: bool = True,
-                             update: bool = True):
-    """Build the jitted pipelined step: (state, images, target, tw) ->
-    (state, metrics).
-
-    images [B, H, W, 3], target [B, h, w, J], tw [B, J]; B sharded over
-    'data', replicated over 'pipe'. update=False skips the optimizer
-    (returns grads in metrics for parity tests).
-    """
+def _build_pipeline_step(stem, stack, mesh: Mesh, *, num_microbatches,
+                         train, update, pck_thr=0.5):
+    """Internal: the (unjitted) pipelined step
+    (state, images, target, tw) -> (state, metrics)."""
     n_pipe = mesh.shape['pipe']
     M = num_microbatches
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
@@ -168,7 +163,7 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
             T = M + n_pipe - 1
 
             def tick(carry, t):
-                x_buf, loss_acc, stem_st, stk_st = carry
+                x_buf, loss_acc, acc_acc, stem_st, stk_st = carry
                 my_mb = t - p
                 t_in = jnp.clip(t, 0, M - 1)
                 raw = jax.lax.dynamic_index_in_dim(imgs, t_in, 0,
@@ -192,6 +187,11 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
                 valid = (my_mb >= 0) & (my_mb < M)
                 l = heatmap_mse_loss(scores, tgt, twm)
                 loss_acc = loss_acc + jnp.where(valid, l, 0.0)
+                # PCK on the LAST stack (lives on the last stage)
+                a = accuracy(scores[-1].astype(jnp.float32), tgt,
+                             thr=pck_thr)[0]
+                acc_acc = acc_acc + jnp.where(
+                    valid & (p == n_pipe - 1), a, 0.0)
 
                 if train:
                     sel = lambda n, o: jnp.where(valid, n, o)
@@ -200,12 +200,13 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
                     stem_st = jax.tree.map(sel0, stem_new, stem_st)
 
                 x_next = jax.lax.ppermute(x_out, 'pipe', perm)
-                return (x_next, loss_acc, stem_st, stk_st), None
+                return (x_next, loss_acc, acc_acc, stem_st, stk_st), None
 
             x0 = jnp.zeros(feat_shape, feat_dtype)
             carry0 = (x0, jnp.zeros((), jnp.float32),
+                      jnp.zeros((), jnp.float32),
                       state.stem_stats, state.stacked_stats)
-            (xf, loss, stem_st, stk_st), _ = jax.lax.scan(
+            (xf, loss, acc, stem_st, stk_st), _ = jax.lax.scan(
                 tick, carry0, jnp.arange(T))
             # LOCAL loss only — no collectives inside the differentiated
             # function. Seeding cotangent 1 on every device's local loss
@@ -213,7 +214,7 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
             # 'pipe': cross-stage cotangents ride the transposed
             # ppermutes); the 'data' mean is applied to the grads below.
             # Per-microbatch means average to this shard's batch mean.
-            return loss / M, (stem_st, stk_st)
+            return loss / M, (acc / M, stem_st, stk_st)
 
         def _apply_stem(params, stats, x):
             v = {'params': params, 'batch_stats': stats}
@@ -240,13 +241,17 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
             state.stem_params)
         feat_shape, feat_dtype = feat.shape, feat.dtype
 
-        (loss, (stem_st, stk_st)), (g_stem, g_stack) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-                state.stem_params, state.stacked_params)
+        (loss, (acc, stem_st, stk_st)), (g_stem, g_stack) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.stem_params, state.stacked_params)
 
-        # metrics loss: stage sum, data mean
+        # metrics: stage sum (acc is nonzero on the last stage only),
+        # data mean
         loss = jax.lax.psum(loss, 'pipe')
         loss = jax.lax.pmean(loss, 'data')
+        acc = jax.lax.psum(acc, 'pipe')
+        acc = jax.lax.pmean(acc, 'data')
         # stem grads: only stage 0's contribution is nonzero -> psum
         # over 'pipe' re-replicates; both grads pmean over 'data'.
         g_stem = jax.lax.psum(g_stem, 'pipe')
@@ -259,7 +264,7 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
                                    'pipe')
             stem_st = jax.lax.pmean(stem_st, 'data')
             stk_st = jax.lax.pmean(stk_st, 'data')
-        metrics = {'loss': loss}
+        metrics = {'loss': loss, 'acc': acc}
         if not update:
             metrics['g_stem'] = g_stem
             metrics['g_stack'] = g_stack
@@ -282,7 +287,7 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
     def _wrapped(state, images, target, tw):
         st_specs = pipeline_specs(state, mesh)
         batch = P('data')
-        out_metrics = {'loss': P()}
+        out_metrics = {'loss': P(), 'acc': P()}
         if not update:
             out_metrics['g_stem'] = jax.tree.map(
                 lambda _: P(), state.stem_params)
@@ -295,4 +300,69 @@ def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
             check_rep=False)
         return fn(state, images, target, tw)
 
-    return jax.jit(_wrapped, donate_argnums=(0,))
+    return _wrapped
+
+
+def make_pipeline_train_step(stem, stack, mesh: Mesh, *,
+                             num_microbatches: int, train: bool = True,
+                             update: bool = True, pck_thr: float = 0.5):
+    """Jitted pipelined step: (state, images, target, tw) ->
+    (state, metrics).
+
+    images [B, H, W, 3], target [B, h, w, J], tw [B, J]; B sharded over
+    'data', replicated over 'pipe'. update=False skips the optimizer
+    (returns grads in metrics for parity tests).
+    """
+    wrapped = _build_pipeline_step(
+        stem, stack, mesh, num_microbatches=num_microbatches,
+        train=train, update=update, pck_thr=pck_thr)
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def make_pipeline_train_step_raw(spec, stem, stack, mesh: Mesh, *,
+                                 num_microbatches: int, subset=None,
+                                 pck_thr: float = 0.5):
+    """Trainer-facing step over RAW canvas batches:
+    (state, raw_batch, rng) -> (state, metrics).
+
+    Signature-compatible with runner.train_state.make_train_step's
+    device-pipeline mode: on-device augmentation + Gaussian target
+    render run data-parallel (partitioned by XLA from the shardings),
+    then the pipelined fwd/bwd/update executes under shard_map.
+    """
+    from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
+
+    wrapped = _build_pipeline_step(
+        stem, stack, mesh, num_microbatches=num_microbatches,
+        train=True, update=True, pck_thr=pck_thr)
+    subset_t = tuple(subset) if subset is not None else None
+
+    def step(state, raw, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        data = augment_batch(raw, rng, spec, True)
+        target, tw = data['target'], data['target_weight']
+        if subset_t is not None:
+            idx = jnp.asarray(subset_t)
+            target, tw = target[..., idx], tw[:, idx]
+        return wrapped(state, data['image'], target, tw)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def merge_hourglass_variables(stem_vars, stacked_vars, num_stacks: int):
+    """Inverse of split_hourglass_variables: pipeline layout ->
+    HourglassNet-layout variables (the stacked trees unstack into
+    hg{i}/res{i}/..., the last stack's feedback convs are dropped).
+    The merged dict is what every standard tool consumes (eval step,
+    export, estimator, checkpoints)."""
+    out = {}
+    for col in ('params', 'batch_stats'):
+        tree = dict(stem_vars.get(col, {}))
+        for name, sub in stacked_vars.get(col, {}).items():
+            for i in range(num_stacks):
+                if (col == 'params' and i == num_stacks - 1
+                        and name in ('fc_back', 'score_back')):
+                    continue
+                tree[f'{name}{i}'] = jax.tree.map(lambda a: a[i], sub)
+        out[col] = tree
+    return out

@@ -49,10 +49,27 @@ def restore(path: str, template_state) -> Dict[str, Any]:
         'epoch': np.int64(0),
         'best_acc': np.float64(0.0),
     }
-    restored = ckptr.restore(_ckpt(path), item=template)
+    try:
+        restored = ckptr.restore(_ckpt(path), item=template)
+        opt_state = restored['opt_state']
+    except Exception:
+        # Optimizer-layout mismatch (e.g. a pipeline-parallel snapshot
+        # resumed by a standard run, or flat vs per-leaf optimizer).
+        # Params/stats/step are layout-independent: restore those with a
+        # partial template and restart the optimizer accumulators.
+        partial = dict(template)
+        del partial['opt_state']
+        restored = ckptr.restore(
+            _ckpt(path),
+            args=ocp.args.PyTreeRestore(item=partial, partial_restore=True))
+        opt_state = None
+        print('=> checkpoint optimizer layout differs from this run; '
+              'restored params/stats only (fresh optimizer state)')
     state = template_state.replace(
         params=restored['params'], batch_stats=restored['batch_stats'],
-        opt_state=restored['opt_state'], step=restored['step'])
+        opt_state=(opt_state if opt_state is not None
+                   else template_state.opt_state),
+        step=restored['step'])
     return {'state': state, 'epoch': int(restored['epoch']),
             'best_acc': float(restored['best_acc'])}
 

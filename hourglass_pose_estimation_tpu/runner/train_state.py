@@ -49,14 +49,26 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(learning_rate: float, schedule_epochs: Sequence[int],
-                   gamma: float, steps_per_epoch: int) -> optax.GradientTransformation:
-    """RMSprop + epoch-boundary step decay (reference parity)."""
+                   gamma: float, steps_per_epoch: int,
+                   flat: bool = True) -> optax.GradientTransformation:
+    """RMSprop + epoch-boundary step decay (reference parity).
+
+    flat=True wraps the transform in optax.flatten: the update runs on
+    ONE concatenated vector instead of ~350 separate leaves. The
+    per-leaf formulation dispatches a tiny fused op per parameter
+    tensor and cost 24.8 ms/step of the 8-stack train step on v5e
+    (pure dispatch overhead — the arithmetic is worth <1 ms of HBM
+    traffic); flattening collapses it into a handful of large ops.
+    Numerics are identical (elementwise update, concatenation order is
+    irrelevant).
+    """
     boundaries = {int(e) * int(steps_per_epoch): gamma for e in schedule_epochs}
     sched = optax.piecewise_constant_schedule(learning_rate, boundaries)
-    return optax.chain(
+    tx = optax.chain(
         optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
         optax.scale_by_learning_rate(sched),
     )
+    return optax.flatten(tx) if flat else tx
 
 
 def init_state(model, rng, input_shape, tx) -> TrainState:

@@ -75,16 +75,51 @@ class Trainer:
 
         steps_per_epoch = tc.steps_per_epoch or len(self.train_loader)
         self.steps_per_epoch = min(steps_per_epoch, len(self.train_loader))
+        # optax.flatten collapses the per-leaf optimizer dispatch into a
+        # few large ops (24.8 -> ~1 ms/step), but a flat opt state cannot
+        # be stage-sharded (pipeline) or TP-sharded -- use it only on the
+        # standard data-parallel path.
+        flat_opt = tc.model_parallel == 1 and tc.pipeline_parallel == 1
         self.tx = make_optimizer(tc.learning_rate, tc.schedule, tc.gamma,
-                                 self.steps_per_epoch)
+                                 self.steps_per_epoch, flat=flat_opt)
 
-        self.mesh = make_mesh(tc.data_parallel, tc.model_parallel)
+        self.pp = tc.pipeline_parallel
+        if self.pp > 1:
+            # pipeline parallelism over stacks: ('data','pipe') mesh
+            if not dc.device_pipeline:
+                raise ValueError('pipeline_parallel requires '
+                                 'DATASET.device_pipeline=True')
+            if tc.explicit_collectives or tc.model_parallel > 1:
+                raise ValueError('pipeline_parallel is incompatible with '
+                                 'explicit_collectives/model_parallel')
+            if mc.num_stacks % self.pp:
+                raise ValueError(f'num_stacks {mc.num_stacks} not '
+                                 f'divisible by pipeline_parallel {self.pp}')
+            from jax.sharding import Mesh
+            devs = jax.devices()
+            dp = tc.data_parallel or len(devs) // self.pp
+            self.mesh = Mesh(
+                np.asarray(devs[:dp * self.pp]).reshape(dp, self.pp),
+                ('data', 'pipe'))
+            from hourglass_pose_estimation_tpu.models.hourglass import (
+                HourglassStem, HourglassStack)
+            self._stem = HourglassStem(mobile=mc.mobile,
+                                       dtype=self.model.dtype)
+            self._stack = HourglassStack(
+                num_blocks=mc.num_blocks, num_classes=self.num_classes,
+                mobile=mc.mobile, skip_mode=mc.skip_mode,
+                dtype=self.model.dtype)
+        else:
+            self.mesh = make_mesh(tc.data_parallel, tc.model_parallel)
         self.state = self._init_state()
         if self.verbose:
             from hourglass_pose_estimation_tpu.utils.summary import (
                 count_params, summarize)
+            n_par = (count_params(self.state.params) if self.pp == 1 else
+                     count_params(self.state.stem_params)
+                     + count_params(self.state.stacked_params))
             self._log(f"==> model '{mc.arch}', stacks={mc.num_stacks}, "
-                      f"params={count_params(self.state.params):,}, "
+                      f"params={n_par:,}, "
                       f"mesh={dict(self.mesh.shape)}")
             if cfg.common.summary:
                 self._log(summarize(self.model,
@@ -95,7 +130,14 @@ class Trainer:
         self.canvas = dc.canvas or max(dc.inp_res, 64)
         self.crop_aware = dc.canvas_mode == 'crop'
         self.device_pipeline = dc.device_pipeline
-        if tc.explicit_collectives:
+        if self.pp > 1:
+            from hourglass_pose_estimation_tpu.parallel.pipeline import (
+                make_pipeline_train_step_raw)
+            self.train_step = make_pipeline_train_step_raw(
+                self.spec, self._stem, self._stack, self.mesh,
+                num_microbatches=tc.microbatches, subset=mc.subset,
+                pck_thr=cfg.common.pck)
+        elif tc.explicit_collectives:
             # explicit shard_map+psum formulation (TRAIN.explicit_
             # collectives); TRAIN.sync_bn=False gives DataParallel's
             # per-replica BN statistics (reference's actual behavior)
@@ -121,11 +163,16 @@ class Trainer:
             self._resume(cfg.common.resume)
 
     # ------------------------------------------------------------------
-    def _place_state(self, state: TrainState) -> TrainState:
+    def _place_state(self, state):
         """Apply the mesh placement: params tensor-parallel-sharded when
-        model_parallel > 1, everything else replicated. Used by BOTH
-        fresh init and resume so a restored TP run keeps its 'model'-axis
-        shardings (a resume must not silently fall back to replicated)."""
+        model_parallel > 1, stack-axis-sharded under pipeline
+        parallelism, everything else replicated. Used by BOTH fresh init
+        and resume so a restored TP/PP run keeps its shardings (a resume
+        must not silently fall back to replicated)."""
+        if self.pp > 1:
+            from hourglass_pose_estimation_tpu.parallel.pipeline import (
+                shard_pipeline_state)
+            return shard_pipeline_state(state, self.mesh)
         rep = replicated_sharding(self.mesh)
         if self.mesh.shape['model'] > 1:
             from hourglass_pose_estimation_tpu.parallel import shard_params
@@ -139,14 +186,75 @@ class Trainer:
                 step=jax.device_put(state.step, rep))
         return jax.device_put(state, rep)
 
-    def _init_state(self) -> TrainState:
+    def _init_state(self):
         rng = jax.random.PRNGKey(self.cfg.common.seed)
         shape = (1, self.cfg.dataset.inp_res, self.cfg.dataset.inp_res, 3)
-        return self._place_state(init_state(self.model, rng, shape, self.tx))
+        base = init_state(self.model, rng, shape, self.tx)
+        if self.pp > 1:
+            # identical init to the standard path (same seed -> same
+            # weights), regrouped into the pipeline layout
+            from hourglass_pose_estimation_tpu.parallel.pipeline import (
+                PipelineState, split_hourglass_variables)
+            stem_v, stk_v = split_hourglass_variables(
+                {'params': base.params, 'batch_stats': base.batch_stats},
+                self.cfg.model.num_stacks)
+            state = PipelineState(
+                step=base.step,
+                stem_params=stem_v['params'],
+                stem_stats=stem_v['batch_stats'],
+                stacked_params=stk_v['params'],
+                stacked_stats=stk_v['batch_stats'],
+                opt_stem=self.tx.init(stem_v['params']),
+                opt_stack=self.tx.init(stk_v['params']),
+                tx=self.tx)
+            return self._place_state(state)
+        return self._place_state(base)
+
+    def _merged_eval_state(self) -> TrainState:
+        """Pipeline state -> a standard TrainState view for eval/export
+        (HourglassNet-layout variables; optimizer state not used)."""
+        from hourglass_pose_estimation_tpu.parallel.pipeline import (
+            merge_hourglass_variables)
+        merged = merge_hourglass_variables(
+            {'params': self.state.stem_params,
+             'batch_stats': self.state.stem_stats},
+            {'params': self.state.stacked_params,
+             'batch_stats': self.state.stacked_stats},
+            self.cfg.model.num_stacks)
+        return TrainState(step=self.state.step, params=merged['params'],
+                          batch_stats=merged['batch_stats'],
+                          opt_state=(), tx=self.tx,
+                          apply_fn=self.model.apply)
+
+    def _ckpt_view(self):
+        """What gets checkpointed. Pipeline runs save MERGED params and
+        stats (standard layout — export/estimator/eval read it
+        unchanged) plus the raw two-tree optimizer state."""
+        if self.pp == 1:
+            return self.state
+        return self._merged_eval_state().replace(
+            opt_state={'stem': self.state.opt_stem,
+                       'stack': self.state.opt_stack})
 
     def _resume(self, path: str):
-        payload = ckpt_lib.restore(path, self.state)
-        self.state = self._place_state(payload['state'])
+        payload = ckpt_lib.restore(path, self._ckpt_view())
+        if self.pp > 1:
+            from hourglass_pose_estimation_tpu.parallel.pipeline import (
+                split_hourglass_variables)
+            st = payload['state']
+            stem_v, stk_v = split_hourglass_variables(
+                {'params': st.params, 'batch_stats': st.batch_stats},
+                self.cfg.model.num_stacks)
+            self.state = self._place_state(self.state.replace(
+                step=st.step,
+                stem_params=stem_v['params'],
+                stem_stats=stem_v['batch_stats'],
+                stacked_params=stk_v['params'],
+                stacked_stats=stk_v['batch_stats'],
+                opt_stem=st.opt_state['stem'],
+                opt_stack=st.opt_state['stack']))
+        else:
+            self.state = self._place_state(payload['state'])
         self.start_epoch = int(payload['epoch'])
         self.best_acc = float(payload['best_acc'])
         if self.verbose:
@@ -238,9 +346,11 @@ class Trainer:
             produce = lambda b: self.val_ds.host_batch(b[0], rng, train=False)
         prefetch = Prefetcher(self.val_loader.epoch_indices(), produce)
         rows = []
+        eval_state = (self._merged_eval_state() if self.pp > 1
+                      else self.state)
         for raw, (idx, valid) in prefetch:
             raw = self._stage(raw)
-            m = self.eval_step(self.state, raw, jnp.asarray(valid))
+            m = self.eval_step(eval_state, raw, jnp.asarray(valid))
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
         if not rows:
             return 0.0, 0.0
@@ -281,10 +391,10 @@ class Trainer:
                 self.best_acc = val_acc
             if (epoch + 1) % cfg.common.snapshot == 0:
                 ckpt_lib.save(os.path.join(self.ckpt_dir, f'checkpoint_{epoch + 1}'),
-                              self.state, epoch + 1, self.best_acc)
+                              self._ckpt_view(), epoch + 1, self.best_acc)
             if is_best:
                 ckpt_lib.save(os.path.join(self.ckpt_dir, 'best'),
-                              self.state, epoch + 1, self.best_acc)
+                              self._ckpt_view(), epoch + 1, self.best_acc)
         if self.writer:
             self.writer.close()
         return self.best_acc

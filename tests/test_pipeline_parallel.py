@@ -64,7 +64,7 @@ def _sequential_loss(stem, stack, state, images, target, tw):
 
 def test_pipeline_matches_sequential_loss_and_grads():
     stem, stack = _modules()
-    tx = make_optimizer(2.5e-3, [35], 0.1, 100)
+    tx = make_optimizer(2.5e-3, [35], 0.1, 100, flat=False)
     state = init_pipeline(stem, stack, jax.random.PRNGKey(0), S, tx,
                           inp_res=RES)
     images, target, tw = _batch(jax.random.PRNGKey(1))
@@ -98,7 +98,7 @@ def test_pipeline_matches_sequential_loss_and_grads():
 
 def test_pipeline_train_step_updates_params_and_stats():
     stem, stack = _modules()
-    tx = make_optimizer(2.5e-3, [35], 0.1, 100)
+    tx = make_optimizer(2.5e-3, [35], 0.1, 100, flat=False)
     state = init_pipeline(stem, stack, jax.random.PRNGKey(0), S, tx,
                           inp_res=RES)
     images, target, tw = _batch(jax.random.PRNGKey(2))
@@ -147,3 +147,47 @@ def test_split_hourglass_variables_roundtrip_forward():
     got = jnp.stack(outs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_trainer_pipeline_parallel_mode(tmp_path):
+    """Trainer end-to-end under TRAIN.pipeline_parallel=4: trains,
+    evaluates (merged view), snapshots in the standard layout, and
+    resumes back into the pipeline layout."""
+    import os
+    from hourglass_pose_estimation_tpu.config import load_config
+    from hourglass_pose_estimation_tpu.runner import Trainer
+
+    def cfg(**extra):
+        raw = {
+            'DATASET': {'name': 'synthetic', 'inp_res': 64, 'out_res': 16,
+                        'sigma': 1, 'scale_factor': 0.25, 'rot_factor': 30,
+                        'num_samples': 16},
+            'MODEL': {'arch': 'hg', 'num_stacks': 4},
+            'TRAIN': {'epochs': 1, 'train_batch': 8, 'val_batch': 8,
+                      'precision': 'f32', 'learning_rate': 2.5e-3,
+                      'pipeline_parallel': 4, 'microbatches': 2},
+            'COMMON': {'checkpoint_dir': str(tmp_path), 'snapshot': 1,
+                       'seed': 0},
+        }
+        for k, v in extra.items():
+            raw.setdefault(k, {}).update(v)
+        return load_config(raw=raw)
+
+    trainer = Trainer(cfg(), verbose=False)
+    assert dict(trainer.mesh.shape) == {'data': 2, 'pipe': 4}
+    best = trainer.train()
+    assert np.isfinite(best)
+    ckpt = os.path.join(str(tmp_path), 'ckpts', 'checkpoint_1')
+    assert os.path.isdir(ckpt)
+
+    # the snapshot is standard-layout: a NON-pipeline Trainer resumes it
+    t_std = Trainer(cfg(TRAIN={'pipeline_parallel': 1},
+                        COMMON={'resume': ckpt}), verbose=False)
+    assert t_std.start_epoch == 1
+
+    # and the pipeline Trainer resumes it back into pipeline layout
+    t_pp = Trainer(cfg(COMMON={'resume': ckpt}), verbose=False)
+    assert t_pp.start_epoch == 1
+    for a, b in zip(jax.tree.leaves(t_pp.state.stacked_params),
+                    jax.tree.leaves(trainer.state.stacked_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

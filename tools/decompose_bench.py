@@ -52,12 +52,16 @@ def main(argv=None):
     step, state, raw, rng = build()
 
     # -- full step --------------------------------------------------
+    # the step donates its state: thread it across timed calls
+    holder = {'s': state}
+
     def full(n):
-        s, m = state, None
+        m = None
         for _ in range(n):
-            s, m = step(s, raw, rng)
+            holder['s'], m = step(holder['s'], raw, rng)
         float(m['loss'])
     t_full = timed('full', full, args.iters)
+    state = holder['s']          # original buffers were donated away
 
     # -- augment only -----------------------------------------------
     ds = Synthetic(True, num_samples=BATCH, inp_res=RES, out_res=RES // 4,
