@@ -135,6 +135,38 @@ def run_async(args):
     return 0
 
 
+def run_sustained(args):
+    """Device-sustained serving throughput: chain `iters` inferences
+    through a data dependency and pay ONE host fetch. Per-frame host
+    round trips (the sync mode) measure the transport, not the model —
+    on this dev tunnel the RTT is 26-45 ms with >15 ms jitter
+    (BENCH_NOTES.md); production serving keeps frames device-side."""
+    from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+
+    fn = _load(args.model)
+    mean, std = get_meanstd(args.dataset)
+    _, x = _prep(args.image, args.res, mean, std)
+    x = jnp.asarray(x)
+
+    # Direct back-to-back dispatch: TPU executes programs in dispatch
+    # order, so fetching the LAST output bounds every earlier frame.
+    # (Wrapping the deserialized exported call in another jit to chain
+    # through a data dependency hits an executable-cache miss on this
+    # platform and costs ~150 ms/call — measured; direct is ~1 ms.)
+    first = lambda o: o[0] if isinstance(o, tuple) else o
+    out = fn(x)
+    np.asarray(first(out))                        # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(x)
+    np.asarray(first(out))                        # one fetch bounds all
+    dt = time.perf_counter() - t0
+    print(f'{args.iters} frames in {dt:.2f}s = {args.iters / dt:.1f} '
+          f'FPS sustained ({dt / args.iters * 1000:.2f} ms/frame '
+          f'incl. dispatch)')
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='mode', required=True)
@@ -155,8 +187,18 @@ def main(argv=None):
     pa.add_argument('--res', type=int, default=256)
     pa.add_argument('--dataset', default='mscoco')
     pa.add_argument('--skeleton', action='store_true')
+    pu = sub.add_parser('sustained')
+    pu.add_argument('model')
+    pu.add_argument('image')
+    pu.add_argument('--iters', type=int, default=100)
+    pu.add_argument('--res', type=int, default=256)
+    pu.add_argument('--dataset', default='mscoco')
     args = p.parse_args(argv)
-    return run_sync(args) if args.mode == 'sync' else run_async(args)
+    if args.mode == 'sync':
+        return run_sync(args)
+    if args.mode == 'sustained':
+        return run_sustained(args)
+    return run_async(args)
 
 
 if __name__ == '__main__':
