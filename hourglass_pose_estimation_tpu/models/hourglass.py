@@ -117,6 +117,7 @@ class HourglassStem(nn.Module):
     num_feats: int = 128
     mobile: bool = False
     dtype: Any = jnp.bfloat16
+    bn_stat_samples: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -126,10 +127,12 @@ class HourglassStem(nn.Module):
                     use_bias=True, dtype=dt, param_dtype=jnp.float32,
                     name='conv1')(x)
         x = BatchNorm(use_running_average=not train, momentum=0.9,
-                      epsilon=1e-5, dtype=jnp.float32, name='bn1')(x)
+                      epsilon=1e-5, dtype=jnp.float32,
+                      stat_samples=self.bn_stat_samples, name='bn1')(x)
         x = nn.relu(x).astype(dt)
         bneck = lambda planes, name: Bottleneck(
-            planes, mobile=self.mobile, dtype=dt, name=name)
+            planes, mobile=self.mobile, dtype=dt,
+            bn_stat_samples=self.bn_stat_samples, name=name)
         x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = bneck(128, 'layer2')(x, train=train)
@@ -155,6 +158,7 @@ class HourglassStack(nn.Module):
     skip_mode: str = 'sum'
     dtype: Any = jnp.bfloat16
     out_dtype: Any = jnp.float32
+    bn_stat_samples: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -165,12 +169,15 @@ class HourglassStack(nn.Module):
             param_dtype=jnp.float32, name=name)
         y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
                       mobile=self.mobile, skip_mode=self.skip_mode,
-                      dtype=dt, name='hg')(x, train)
+                      dtype=dt, bn_stat_samples=self.bn_stat_samples,
+                      name='hg')(x, train)
         y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
-                          dt, name='res')(y, train=train)
+                          dt, bn_stat_samples=self.bn_stat_samples,
+                          name='res')(y, train=train)
         y = conv1x1(ch, 'fc')(y)
         y = BatchNorm(use_running_average=not train, momentum=0.9,
-                      epsilon=1e-5, dtype=jnp.float32, name='fc_bn')(y)
+                      epsilon=1e-5, dtype=jnp.float32,
+                      stat_samples=self.bn_stat_samples, name='fc_bn')(y)
         y = nn.relu(y).astype(dt)
         score = conv1x1(self.num_classes, 'score')(y)
         fc_b = conv1x1(ch, 'fc_back')(y)

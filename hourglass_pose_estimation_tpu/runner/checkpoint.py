@@ -52,19 +52,25 @@ def restore(path: str, template_state) -> Dict[str, Any]:
     try:
         restored = ckptr.restore(_ckpt(path), item=template)
         opt_state = restored['opt_state']
-    except Exception:
-        # Optimizer-layout mismatch (e.g. a pipeline-parallel snapshot
-        # resumed by a standard run, or flat vs per-leaf optimizer).
-        # Params/stats/step are layout-independent: restore those with a
-        # partial template and restart the optimizer accumulators.
+    except ValueError as e:
+        # Orbax raises ValueError on item/metadata tree-structure
+        # mismatch — i.e. an optimizer-layout difference (a pipeline-
+        # parallel snapshot resumed by a standard run, or flat vs
+        # per-leaf optimizer). Params/stats/step are layout-independent:
+        # restore those with a partial template and restart the
+        # optimizer accumulators. Anything else (corrupt/missing
+        # checkpoint) propagates.
+        if 'structure' not in str(e) and 'match' not in str(e):
+            raise
         partial = dict(template)
         del partial['opt_state']
         restored = ckptr.restore(
             _ckpt(path),
             args=ocp.args.PyTreeRestore(item=partial, partial_restore=True))
         opt_state = None
-        print('=> checkpoint optimizer layout differs from this run; '
-              'restored params/stats only (fresh optimizer state)')
+        print('=> checkpoint optimizer layout differs from this run '
+              f'({type(e).__name__}); restored params/stats only '
+              '(fresh optimizer state)')
     state = template_state.replace(
         params=restored['params'], batch_stats=restored['batch_stats'],
         opt_state=(opt_state if opt_state is not None

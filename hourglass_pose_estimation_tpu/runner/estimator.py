@@ -38,9 +38,12 @@ class Estimator:
         from hourglass_pose_estimation_tpu.data import REGISTRY, n_joints_for
         if dataset in REGISTRY:
             return n_joints_for(dataset)
-        for key in REGISTRY:
-            if key in dataset or dataset in key:
-                return n_joints_for(key)
+        # substring matching only for non-empty names ('' would match
+        # every registry key and silently pick an import-order winner)
+        if dataset:
+            for key in REGISTRY:
+                if key in dataset or dataset in key:
+                    return n_joints_for(key)
         raise ValueError(
             f'cannot derive num_classes from dataset {dataset!r}; '
             f'set MODEL.num_classes explicitly')

@@ -152,12 +152,20 @@ class Evaluator:
             output_dir = self.cfg.common.checkpoint_dir
         preds, scores = self.predict_keypoints(state, return_scores=True)
         name = self.cfg.dataset.name
-        if name == 'mpii' and (self.cfg.eval.gt_mat or output_dir):
-            from hourglass_pose_estimation_tpu.data.mpii import evaluate_pckh
-            table, mean = evaluate_pckh(
-                preds, self.cfg.eval.gt_mat, output_dir=output_dir or '',
-                image_set=getattr(self.ds, 'image_set', 'valid'))
-            return dict(table)
+        if name == 'mpii':
+            if self.cfg.eval.gt_mat:
+                from hourglass_pose_estimation_tpu.data.mpii import (
+                    evaluate_pckh)
+                table, mean = evaluate_pckh(
+                    preds, self.cfg.eval.gt_mat, output_dir=output_dir or '',
+                    image_set=getattr(self.ds, 'image_set', 'valid'))
+                return dict(table)
+            # no gt .mat available: still emit the official pred.mat
+            # artifact, then fall through to the OKS-recall metrics
+            if output_dir:
+                from hourglass_pose_estimation_tpu.data.mpii import (
+                    save_pred_mat)
+                save_pred_mat(preds, output_dir)
         # OKS path: score against the loader's own gt instances
         from hourglass_pose_estimation_tpu.data.oks import (
             oks_recall, instance_areas_from_scales, write_coco_results,

@@ -95,9 +95,21 @@ class Trainer:
             if mc.num_stacks % self.pp:
                 raise ValueError(f'num_stacks {mc.num_stacks} not '
                                  f'divisible by pipeline_parallel {self.pp}')
+            if tc.remat:
+                raise ValueError('TRAIN.remat is not supported under '
+                                 'pipeline_parallel (stages are already '
+                                 'the recompute granularity)')
             from jax.sharding import Mesh
             devs = jax.devices()
             dp = tc.data_parallel or len(devs) // self.pp
+            if dp * self.pp > len(devs):
+                raise ValueError(
+                    f'mesh dp{dp} x pp{self.pp} needs {dp * self.pp} '
+                    f'devices, have {len(devs)}')
+            if tc.train_batch % (dp * tc.microbatches):
+                raise ValueError(
+                    f'TRAIN.train_batch {tc.train_batch} must divide by '
+                    f'data_parallel*microbatches = {dp * tc.microbatches}')
             self.mesh = Mesh(
                 np.asarray(devs[:dp * self.pp]).reshape(dp, self.pp),
                 ('data', 'pipe'))
@@ -108,7 +120,8 @@ class Trainer:
             self._stack = HourglassStack(
                 num_blocks=mc.num_blocks, num_classes=self.num_classes,
                 mobile=mc.mobile, skip_mode=mc.skip_mode,
-                dtype=self.model.dtype)
+                dtype=self.model.dtype,
+                bn_stat_samples=tc.bn_stat_samples)
         else:
             self.mesh = make_mesh(tc.data_parallel, tc.model_parallel)
         self.state = self._init_state()

@@ -161,6 +161,9 @@ def test_estimator_derives_num_classes_from_dataset():
     assert Estimator._joints_for('crowdpose') == 14
     with pytest.raises(ValueError):
         Estimator._joints_for('unknown_ds')
+    # '' must not substring-match every registry key (import-order trap)
+    with pytest.raises(ValueError):
+        Estimator._joints_for('')
 
 
 def test_fold_batchnorm_identical_outputs():

@@ -26,11 +26,15 @@ import shutil
 import sys
 
 
-def iter_names(collections, kind):
+def iter_names(collections, kind, json_path=''):
     if isinstance(collections, dict) and 'images' in collections:
-        # standard COCO annotation file
+        # standard COCO annotation file: the split comes from the
+        # annotation FILENAME (instances_train2017.json vs ..._val...),
+        # not from the dataset kind — a train file routed to val2017/
+        # would miss every image
+        is_val = 'val' in os.path.basename(json_path)
         for im in collections['images']:
-            yield im.get('file_name', ''), bool(kind == 'coco')
+            yield im.get('file_name', ''), is_val
         return
     for coll in collections:
         name = coll.get('img_paths') or coll.get('image') or ''
@@ -45,7 +49,7 @@ def main(args):
     os.makedirs(args.dest, exist_ok=True)
     n, missing = 0, 0
     seen = set()
-    for name, is_val in iter_names(collections, args.type):
+    for name, is_val in iter_names(collections, args.type, args.json):
         if not name or name in seen:
             continue
         seen.add(name)

@@ -14,6 +14,11 @@ Usage:
 Timing caveat (CLAUDE.md): wall clocks over the tunnel lie; the device
 trace timestamps come from the TPU itself and are trustworthy. Don't
 run while another TPU process is live.
+
+KNOWN LIMITATION on the axon dev tunnel: the profiler trace capture
+itself HANGS (blocked >25 min at 0% CPU, measured round 2) — this tool
+works on directly-attached TPUs; over the tunnel use
+tools/decompose_bench.py (phase-level timing) instead.
 """
 
 import argparse
@@ -67,16 +72,17 @@ def summarize(data, top):
                 return i
         return None
 
+    def first_col(*names, default=None):
+        for n in names:
+            j = col(n)
+            if j is not None:
+                return j
+        return default
+
     i_cat = col('category')
-    i_time = col('total time') or col('occurrences')  # fallback probe
-    # find a usec/time column more carefully
-    for cand in ('Total time (us)', 'Avg. time (us)', 'total_time',
-                 'Total Time'):
-        j = col(cand)
-        if j is not None:
-            i_time = j
-            break
-    i_name = col('HLO op name') or col('name') or 0
+    i_time = first_col('Total time (us)', 'Avg. time (us)', 'total_time',
+                       'Total Time', 'total time', 'occurrences')
+    i_name = first_col('HLO op name', 'name', default=0)
     i_expr = col('expression')
 
     tot = {}

@@ -146,24 +146,52 @@ def run_sustained(args):
     fn = _load(args.model)
     mean, std = get_meanstd(args.dataset)
     _, x = _prep(args.image, args.res, mean, std)
+    import jax.numpy as jnp
     x = jnp.asarray(x)
 
-    # Direct back-to-back dispatch: TPU executes programs in dispatch
-    # order, so fetching the LAST output bounds every earlier frame.
-    # (Wrapping the deserialized exported call in another jit to chain
-    # through a data dependency hits an executable-cache miss on this
-    # platform and costs ~150 ms/call — measured; direct is ~1 ms.)
+    # Every frame is chained through a data dependency (CLAUDE.md
+    # hazard 1: on this tunnel even fetching the LAST output does not
+    # bound earlier un-chained programs — measured: un-chained
+    # "sustained" readings collapse to ~3 us/frame, i.e. elided). The
+    # chain runs through a tiny separately-jitted combiner because
+    # wrapping the deserialized exported call itself in another jit
+    # hits an executable-cache miss (~150 ms/call, measured).
+    import jax
     first = lambda o: o[0] if isinstance(o, tuple) else o
+    combine = jax.jit(
+        lambda base, f: base + (f.ravel()[0] * 0).astype(base.dtype))
     out = fn(x)
     np.asarray(first(out))                        # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn(x)
-    np.asarray(first(out))                        # one fetch bounds all
-    dt = time.perf_counter() - t0
-    print(f'{args.iters} frames in {dt:.2f}s = {args.iters / dt:.1f} '
-          f'FPS sustained ({dt / args.iters * 1000:.2f} ms/frame '
-          f'incl. dispatch)')
+    np.asarray(combine(x, first(out))[0, 0, 0])
+    def run(n):
+        t0 = time.perf_counter()
+        xi, o = x, out
+        for _ in range(n):
+            o = fn(xi)
+            xi = combine(x, first(o))             # data-dependency chain
+        np.asarray(first(o))                      # one fetch bounds all
+        return time.perf_counter() - t0
+
+    # honesty cross-check for the dispatch-order assumption (CLAUDE.md
+    # timing rule): run N/2 and N frames; the DIFFERENCE removes the
+    # constant fetch round trip, so the differential per-frame time is
+    # the sustained device+dispatch cost. If the runtime elided
+    # identical dispatches the differential would collapse toward 0.
+    n_half = max(args.iters // 2, 1)
+    t_half = run(n_half)
+    t_full = run(args.iters)
+    diff_ms = (t_full - t_half) / max(args.iters - n_half, 1) * 1000
+    print(f'{args.iters} frames in {t_full:.2f}s = '
+          f'{args.iters / t_full:.1f} FPS raw', end='')
+    if diff_ms < 0.05:
+        # the tunnel fetch RTT jitters by +-20 ms; per-frame costs below
+        # ~RTT_jitter/frames are unresolvable with this method
+        print(' | differential per-frame below the tunnel noise floor '
+              '(model faster than measurable here; see '
+              'tools/latency_bench.py for in-jit chained timing)')
+    else:
+        print(f' | differential {diff_ms:.2f} ms/frame '
+              f'({1000 / diff_ms:.0f} FPS sustained, fetch RTT removed)')
     return 0
 
 
