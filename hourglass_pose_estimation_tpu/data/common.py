@@ -320,12 +320,24 @@ class Loader:
     """
 
     def __init__(self, dataset: PoseDataset, batch_size: int, *,
-                 shuffle: bool, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool, seed: int = 0, drop_last: bool = True,
+                 shard: Tuple[int, int] = (0, 1)):
+        """shard=(process_index, process_count): multi-host SPMD data
+        sharding. `batch_size` stays the GLOBAL batch; every process
+        sees the same number of steps and the same global sample order
+        (same seed), but each epoch batch yields only this process's
+        contiguous batch_size/process_count rows — exactly the
+        process-local slice `parallel.multihost.global_batch_from_local`
+        assembles into global arrays."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
+        self.shard_i, self.shard_n = int(shard[0]), int(shard[1])
+        if self.batch_size % self.shard_n:
+            raise ValueError(f'batch_size {batch_size} must divide by '
+                             f'process_count {self.shard_n}')
 
     def __len__(self):
         n = len(self.dataset)
@@ -344,6 +356,10 @@ class Loader:
                 pad = self.batch_size - len(idx)
                 valid[len(idx):] = 0.0
                 idx = np.concatenate([idx, np.full((pad,), idx[-1] if len(idx) else 0)])
+            if self.shard_n > 1:
+                k = self.batch_size // self.shard_n
+                lo = self.shard_i * k
+                idx, valid = idx[lo:lo + k], valid[lo:lo + k]
             batches.append((idx.astype(np.int64), valid))
         return batches
 

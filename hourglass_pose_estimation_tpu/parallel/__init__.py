@@ -5,3 +5,6 @@ from hourglass_pose_estimation_tpu.parallel.mesh import (
 from hourglass_pose_estimation_tpu.parallel.shard_map_step import (
     make_shard_map_train_step,
 )
+from hourglass_pose_estimation_tpu.parallel.multihost import (
+    maybe_initialize_distributed, global_batch_from_local,
+)

@@ -67,11 +67,16 @@ class Trainer:
         self.val_ds = get_dataset(dc.name, False, **ds_kwargs)
         self.spec = make_spec(self.train_ds)
 
+        # multi-host SPMD: every process loads its contiguous slice of
+        # each global batch (identical sample order via the shared seed)
+        # and the batch is assembled into global arrays in _put_batch.
+        self._procs = (jax.process_index(), jax.process_count())
         self.train_loader = Loader(self.train_ds, tc.train_batch,
                                    shuffle=True, seed=cfg.common.seed,
-                                   drop_last=True)
+                                   drop_last=True, shard=self._procs)
         self.val_loader = Loader(self.val_ds, tc.val_batch, shuffle=False,
-                                 seed=cfg.common.seed, drop_last=False)
+                                 seed=cfg.common.seed, drop_last=False,
+                                 shard=self._procs)
 
         steps_per_epoch = tc.steps_per_epoch or len(self.train_loader)
         self.steps_per_epoch = min(steps_per_epoch, len(self.train_loader))
@@ -278,6 +283,10 @@ class Trainer:
             print(msg, flush=True)
 
     def _put_batch(self, batch):
+        if self._procs[1] > 1:
+            from hourglass_pose_estimation_tpu.parallel.multihost import (
+                global_batch_from_local)
+            return global_batch_from_local(self.mesh, batch)
         sh = batch_sharding(self.mesh)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 

@@ -19,6 +19,9 @@ from hourglass_pose_estimation_tpu.config import load_config  # noqa: E402
 
 
 def main(argv):
+    from hourglass_pose_estimation_tpu.parallel.multihost import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()
     if len(argv) < 2:
         print(__doc__)
         return 2

@@ -133,3 +133,41 @@ def test_batch_norm_stats_are_global():
                     jax.tree.leaves(s8.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_loader_shard_partitions_each_batch():
+    """Loader(shard=(i,n)): shards concatenate to the full global batch
+    (same seed => same order), each with batch_size/n rows."""
+    from hourglass_pose_estimation_tpu.data import get_dataset, Loader
+    ds = get_dataset('synthetic', True, num_samples=16, inp_res=64,
+                     out_res=16, sigma=1, scale_factor=0.25, rot_factor=30)
+    full = Loader(ds, 8, shuffle=True, seed=3, drop_last=True)
+    s0 = Loader(ds, 8, shuffle=True, seed=3, drop_last=True, shard=(0, 2))
+    s1 = Loader(ds, 8, shuffle=True, seed=3, drop_last=True, shard=(1, 2))
+    fb, b0, b1 = full.epoch_indices(), s0.epoch_indices(), s1.epoch_indices()
+    assert len(fb) == len(b0) == len(b1)
+    for (fi, fv), (i0, v0), (i1, v1) in zip(fb, b0, b1):
+        np.testing.assert_array_equal(np.concatenate([i0, i1]), fi)
+        np.testing.assert_array_equal(np.concatenate([v0, v1]), fv)
+        assert len(i0) == 4 and len(i1) == 4
+    with pytest.raises(ValueError):
+        Loader(ds, 9, shuffle=False, shard=(0, 2))
+
+
+def test_global_batch_from_local_single_process():
+    """Single-process, global_batch_from_local == sharded device_put."""
+    from hourglass_pose_estimation_tpu.parallel import (
+        make_mesh, batch_sharding, global_batch_from_local,
+        maybe_initialize_distributed)
+    assert maybe_initialize_distributed(verbose=False) == (0, 1)
+    mesh = make_mesh(8, 1)
+    local = {'a': np.arange(32, dtype=np.float32).reshape(8, 4),
+             'b': np.ones((8, 2, 2), np.uint8)}
+    out = global_batch_from_local(mesh, local)
+    ref = {k: jax.device_put(v, batch_sharding(mesh))
+           for k, v in local.items()}
+    for k in local:
+        assert out[k].shape == ref[k].shape
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]))
+        assert out[k].sharding == ref[k].sharding
