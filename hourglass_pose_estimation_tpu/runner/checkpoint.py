@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict
 
-import jax
+
 import numpy as np
 import orbax.checkpoint as ocp
 

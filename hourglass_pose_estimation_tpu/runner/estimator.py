@@ -12,7 +12,7 @@ frames (the reference is strictly single-image).
 from __future__ import annotations
 
 import time
-from typing import Optional, Tuple
+
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ source-image coordinates for dataset-official metrics (MPII PCKh).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
