@@ -197,3 +197,28 @@ def test_fold_batchnorm_identical_outputs():
     assert kps.shape == (2, 4, 2) and maxv.shape[:2] == (2, 4)
     # keypoints are in network-input pixels
     assert float(np.max(np.asarray(kps))) <= 64.5
+
+
+def test_bf16_weight_inference_close_to_f32():
+    """make_inference_fn(weights_dtype=bf16): keypoint decode output
+    stays close to the f32-weight path (deploy-surface sanity)."""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.export import make_inference_fn
+    import jax
+
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                         dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(6), x, train=False)
+
+    f32 = make_inference_fn(model, variables, decode='quarter')
+    b16 = make_inference_fn(model, variables, decode='quarter',
+                            weights_dtype=jnp.bfloat16)
+    k32, v32 = f32(x)
+    k16, v16 = b16(x)
+    # keypoints are argmax-based: identical unless a peak flips, which
+    # random init heatmaps make unlikely but not impossible -> allow
+    # one heatmap-pixel (4 input px) of slack
+    assert float(jnp.abs(k16 - k32).max()) <= 4.0
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=0.1, atol=0.05)
