@@ -36,6 +36,11 @@ STACKS = int(os.environ.get('BENCH_STACKS', '8'))
 RES = int(os.environ.get('BENCH_RES', '256'))
 REMAT = os.environ.get('BENCH_REMAT', '0') == '1'
 BN_SAMPLES = int(os.environ.get('BENCH_BN_SAMPLES', '0'))
+# overlap mode: batch N+1's augmentation is computed inside the same XLA
+# program as batch N's fwd/bwd (runner/train_state.py
+# make_overlapped_train_step) so the warp gathers (HBM/VPU) can hide
+# under the conv work (MXU) instead of serializing in front of it.
+OVERLAP = os.environ.get('BENCH_OVERLAP', '0') == '1'
 WARMUP = 3
 ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 
@@ -71,6 +76,21 @@ def build():
 
 def main():
     step, state, raw, rng = build()
+
+    if OVERLAP:
+        from hourglass_pose_estimation_tpu.runner.train_state import (
+            make_overlapped_train_step, make_stage_fn)
+        from hourglass_pose_estimation_tpu.data import Synthetic, make_spec
+        ds = Synthetic(True, num_samples=BATCH, inp_res=RES,
+                       out_res=RES // 4, sigma=1, scale_factor=0.25,
+                       rot_factor=30)
+        spec = make_spec(ds)
+        ostep = make_overlapped_train_step(spec)
+        staged = make_stage_fn(spec)(raw, rng, state.step)
+
+        def step(state_, raw_, rng_, _s=[staged]):
+            state_, _s[0], metrics = ostep(state_, _s[0], raw_, rng_)
+            return state_, metrics
 
     # one base key: the step folds in state.step on device (host-side
     # per-step key splitting is a device round-trip on this platform).

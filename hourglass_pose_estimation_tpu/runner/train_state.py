@@ -130,6 +130,86 @@ def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
     return train_step
 
 
+# keys of a staged (pre-augmented) batch as consumed by the model
+STAGED_KEYS = ('image', 'target', 'target_weight')
+
+
+def make_stage_fn(spec, *, train=True):
+    """Jitted augment-only program: primes the overlapped step pipeline.
+
+    stage(raw_batch, rng, step) -> staged dict (image/target/target_weight)
+    using the SAME per-step key derivation (fold_in(rng, step)) as the
+    fused train step, so overlapped and sequential modes consume
+    identical augmentation streams.
+    """
+
+    @jax.jit
+    def stage(batch, rng, step):
+        rng = jax.random.fold_in(rng, step)
+        data = augment_batch(batch, rng, spec, train)
+        return {k: data[k] for k in STAGED_KEYS}
+
+    return stage
+
+
+def make_overlapped_train_step(spec, *, subset=None, pck_thr=0.5):
+    """Train step that hides the input pipeline under the model compute.
+
+    The standard fused step (make_train_step) runs augment -> fwd -> bwd
+    -> update as one dependency chain, so the ~43 ms of warp gathers and
+    Gaussian rendering serialize in front of the ~180 ms of conv work
+    each step. Here ONE XLA program per step computes
+      (a) fwd/bwd/RMSprop on the batch staged by the PREVIOUS call, and
+      (b) augmentation + target render of the NEXT raw batch,
+    which share no data dependency: the augment is HBM/VPU work
+    (packed-row gathers + lerps) while fwd/bwd is MXU work, so the
+    scheduler can interleave them instead of paying for both in series.
+    This targets the reference's hot loop
+    (/root/reference/src/runner/trainer.py:82-106), where the DataLoader
+    workers played the same overlapping role on the host.
+
+    Signature: (state, staged, raw_next, rng) -> (state', staged_next,
+    metrics). `staged` is donated (the buffers of batch N are dead once
+    consumed; batch N+1 reuses them). RNG parity with make_train_step:
+    the batch consumed at state.step == s was staged with
+    fold_in(rng, s), so given the same raw-batch sequence both modes
+    produce bit-identical parameter trajectories.
+
+    Drain the pipeline's final staged batch with
+    make_train_step(spec, device_pipeline=False).
+    """
+    subset_t = tuple(subset) if subset is not None else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state: TrainState, staged, raw_next, rng):
+        # stage batch N+1 with the key the sequential step would use
+        rng_next = jax.random.fold_in(rng, state.step + 1)
+        nxt = augment_batch(raw_next, rng_next, spec, True)
+        staged_next = {k: nxt[k] for k in STAGED_KEYS}
+
+        image = staged['image']
+        target, tw = _select_subset(staged['target'],
+                                    staged['target_weight'], subset_t)
+
+        def loss_fn(params):
+            outs, mutated = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                image, train=True, mutable=['batch_stats'])
+            loss = heatmap_mse_loss(outs, target, tw)
+            return loss, (outs, mutated['batch_stats'])
+
+        (loss, (outs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, staged_next, {'loss': loss, 'acc': acc}
+
+    return train_step
+
+
 def make_eval_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
     """Jitted eval step: forward + loss + PCK, no state mutation.
 
