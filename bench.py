@@ -16,7 +16,9 @@ denominator is the BASELINE.json north-star target of 4x an A100
 running the same model. A100 throughput for an 8-stack hourglass
 (25.6M params, ~41 GF fwd @256^2, ~123 GF train) at a generous 40% MFU
 in bf16 is ~350 img/s, so the target is 1400 img/s; vs_baseline =
-value / 1400 (>= 1.0 meets the north star).
+value / 1400 (>= 1.0 meets the north star). Sensitivity: at 30-50%
+A100 MFU the target band is 1050-1750 img/s — vs_baseline carries
+roughly +-35% of denominator uncertainty (see BENCH_NOTES.md).
 """
 
 import json

@@ -59,7 +59,9 @@ def fold_batchnorm(variables, eps: float = 1e-5):
 
 
 def make_inference_fn(model, variables, decode: Optional[str] = None,
-                      fold_bn: bool = False, weights_dtype=None):
+                      fold_bn: bool = False, weights_dtype=None,
+                      preprocess: Optional[Tuple] = None,
+                      input_res: Optional[int] = None):
     """Inference surface for a normalized NHWC batch.
 
     decode=None returns last-stack heatmaps (reference parity,
@@ -69,6 +71,12 @@ def make_inference_fn(model, variables, decode: Optional[str] = None,
     never leaves the device with heatmaps. fold_bn folds batch-norm
     statistics into affine constants; weights_dtype (e.g. jnp.bfloat16)
     casts conv kernels for half the weight HBM traffic.
+
+    preprocess=(mean, std) + input_res: the returned fn takes RAW uint8
+    BGR frames [B, H, W, 3] and fuses /255 -> bilinear resize to
+    input_res^2 -> mean/std normalize into the same program — the whole
+    deploy path (the reference splits this across host cv2 calls,
+    estimator.py:39-54) is then ONE artifact consuming camera bytes.
     """
     if fold_bn:
         variables = fold_batchnorm(variables)
@@ -84,9 +92,24 @@ def make_inference_fn(model, variables, decode: Optional[str] = None,
                 cast, variables['params']),
             'batch_stats': variables.get('batch_stats', {})}
 
+    if preprocess is not None:
+        if input_res is None:
+            raise ValueError('preprocess requires input_res')
+        from hourglass_pose_estimation_tpu.ops.resize import (
+            resize_bilinear_halfpix)
+        mean = jnp.asarray(preprocess[0], jnp.float32)
+        std = jnp.asarray(preprocess[1], jnp.float32)
+
+        def prepare(frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            x = resize_bilinear_halfpix(x, (input_res, input_res))
+            return (x - mean) / std
+    else:
+        prepare = lambda images: images
+
     if decode is None:
         def fn(images):
-            return model.apply(variables, images, train=False)[-1]
+            return model.apply(variables, prepare(images), train=False)[-1]
         return fn
 
     from hourglass_pose_estimation_tpu.ops.decode import (
@@ -94,9 +117,10 @@ def make_inference_fn(model, variables, decode: Optional[str] = None,
     base = decode_dark if decode == 'dark' else decode_quarter_offset
 
     def fn(images):
-        hms = model.apply(variables, images, train=False)[-1]
+        x = prepare(images)
+        hms = model.apply(variables, x, train=False)[-1]
         B = hms.shape[0]
-        R = images.shape[1]
+        R = x.shape[1]
         centers = jnp.tile(jnp.array([R / 2.0, R / 2.0], jnp.float32), (B, 1))
         scales = jnp.tile(jnp.array([R / 200.0, R / 200.0], jnp.float32),
                           (B, 1))
@@ -107,15 +131,22 @@ def make_inference_fn(model, variables, decode: Optional[str] = None,
 
 def export_stablehlo(model, variables, input_shape: Tuple[int, ...],
                      path: str, decode: Optional[str] = None,
-                     fold_bn: bool = False) -> str:
+                     fold_bn: bool = False,
+                     preprocess: Optional[Tuple] = None,
+                     input_res: Optional[int] = None) -> str:
     """Serialize to StableHLO bytes at `path` (.bin). Returns the path.
 
     With `decode` set, the artifact maps frames -> keypoints (decode
     fused on device); `fold_bn` bakes folded batch-norm constants in.
+    With `preprocess=(mean, std)` + `input_res`, `input_shape` is the
+    RAW uint8 frame shape and the /255 -> resize -> normalize
+    preprocessing is baked into the artifact.
     """
-    fn = make_inference_fn(model, variables, decode=decode, fold_bn=fold_bn)
+    fn = make_inference_fn(model, variables, decode=decode, fold_bn=fold_bn,
+                           preprocess=preprocess, input_res=input_res)
+    in_dtype = jnp.uint8 if preprocess is not None else jnp.float32
     exported = jax.export.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct(input_shape, jnp.float32))
+        jax.ShapeDtypeStruct(input_shape, in_dtype))
     blob = exported.serialize()
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     with open(path, 'wb') as fp:

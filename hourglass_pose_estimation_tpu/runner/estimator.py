@@ -86,6 +86,29 @@ class Estimator:
 
         self._forward = _forward
 
+        # Deploy-grade path: preprocessing fused into the forward
+        # program. The host ships raw uint8 frames (3x less transfer
+        # than f32) and the /255 + bilinear resize + mean/std normalize
+        # run on device. The reference normalizes BEFORE resizing
+        # (estimator.py:39-54); bilinear resampling commutes with the
+        # per-channel affine normalization exactly in real arithmetic
+        # (its weights sum to 1), so resizing first is the same map up
+        # to f32 rounding — parity-tested against `preprocess`.
+        from hourglass_pose_estimation_tpu.ops.resize import (
+            resize_bilinear_halfpix)
+        mean = jnp.asarray(self.mean, jnp.float32)
+        std = jnp.asarray(self.std, jnp.float32)
+        size = self.input_size
+
+        @jax.jit
+        def _forward_raw(variables, frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            x = resize_bilinear_halfpix(x, size)
+            x = (x - mean) / std
+            return self.model.apply(variables, x, train=False)[-1]
+
+        self._forward_raw = _forward_raw
+
     # -- preprocessing --------------------------------------------------
     def preprocess(self, frames: np.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] (or [H, W, 3]) BGR uint8 -> normalized, resized.
@@ -98,12 +121,24 @@ class Estimator:
             frames = frames[None]
         mean = np.asarray(self.mean, np.float32)
         std = np.asarray(self.std, np.float32)
+        x = (frames.astype(np.float32) / 255.0 - mean) / std  # vectorized
         out = np.zeros((frames.shape[0], *self.input_size, 3), np.float32)
-        for i, f in enumerate(frames):
-            x = f.astype(np.float32) / 255.0
-            x = (x - mean) / std
-            out[i] = cv2.resize(x, self.input_size)
+        for i in range(len(x)):                 # cv2.resize is per-image
+            out[i] = cv2.resize(x[i], self.input_size)
         return jnp.asarray(out)
+
+    def _heatmaps(self, frames: np.ndarray, device_preprocess: bool):
+        """frames [B|_, H, W, 3] uint8 -> last-stack heatmaps (device).
+
+        device_preprocess=True ships raw uint8 and runs resize+normalize
+        inside the forward program (deploy path); False reproduces the
+        reference's host cv2 preprocess exactly.
+        """
+        if frames.ndim == 3:
+            frames = frames[None]
+        if device_preprocess:
+            return self._forward_raw(self.variables, jnp.asarray(frames))
+        return self._forward(self.variables, self.preprocess(frames))
 
     # -- decoding -------------------------------------------------------
     def post_process_v1(self, heatmaps, output_size):
@@ -151,7 +186,8 @@ class Estimator:
         return np.asarray(kps).astype(np.int32), np.asarray(maxv)
 
     # -- inference ------------------------------------------------------
-    def run(self, frame: np.ndarray, time_it: bool = True):
+    def run(self, frame: np.ndarray, time_it: bool = True,
+            device_preprocess: bool = True):
         """One frame -> [J, 2] int keypoints in frame coordinates.
 
         Timing note: the measured interval runs until the heatmaps are
@@ -159,30 +195,29 @@ class Estimator:
         block_until_ready acks before execution finishes, so a plain
         "time the forward" print would under-report.
         """
-        inp = self.preprocess(frame)
         start = time.time()
-        hms = np.asarray(self._forward(self.variables, inp))
+        hms = np.asarray(self._heatmaps(frame, device_preprocess))
         if time_it:
             print(f'Inference time: {time.time() - start:.3f}s')
         kps, _ = self.post_process_v2(hms, (frame.shape[1], frame.shape[0]))
         return kps[0]
 
-    def run_skeleton(self, frame: np.ndarray):
+    def run_skeleton(self, frame: np.ndarray,
+                     device_preprocess: bool = True):
         """One frame -> ([J, 3] heatmap-space (x, y, conf) NMS peaks,
         heatmap (H, W)) for skeleton rendering — the reference's
         `post_process_heatmap` path
         (openvino_visualizer/utils.py:35-48), batched on device."""
         from hourglass_pose_estimation_tpu.ops.decode import decode_nms_peaks
-        inp = self.preprocess(frame)
-        hms = self._forward(self.variables, inp)
+        hms = self._heatmaps(frame, device_preprocess)
         kps = np.asarray(decode_nms_peaks(hms))[0]
         return kps, tuple(hms.shape[1:3])
 
-    def run_batch(self, frames: np.ndarray):
+    def run_batch(self, frames: np.ndarray,
+                  device_preprocess: bool = True):
         """[B, H, W, 3] -> [B, J, 2] keypoints (batched path the
         reference lacks)."""
-        inp = self.preprocess(frames)
-        hms = self._forward(self.variables, inp)
+        hms = self._heatmaps(frames, device_preprocess)
         kps, _ = self.post_process_v2(np.asarray(hms),
                                       (frames.shape[2], frames.shape[1]))
         return kps

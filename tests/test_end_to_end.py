@@ -73,6 +73,30 @@ def test_export_stablehlo_roundtrip(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-5)
 
 
+def test_export_preprocess_fused_roundtrip(tmp_path):
+    """Export with preprocess baked in: the artifact consumes RAW uint8
+    frames (camera bytes) and returns keypoints; round-trips through
+    StableHLO serialize/deserialize."""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.export import (
+        export_stablehlo, load_stablehlo)
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=4,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    mean, std = (0.4, 0.44, 0.47), (0.23, 0.23, 0.24)
+    path = export_stablehlo(
+        model, variables, (1, 96, 128, 3), str(tmp_path / 'raw.stablehlo'),
+        decode='quarter', fold_bn=True, preprocess=(mean, std),
+        input_res=64)
+    fn = load_stablehlo(path)
+    frame = np.random.RandomState(1).randint(
+        0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    kps, maxv = fn(jnp.asarray(frame))
+    assert kps.shape == (1, 4, 2) and maxv.shape[:2] == (1, 4)
+    assert float(jnp.max(kps)) <= 64.5   # network-input-frame pixels
+
+
 def test_estimator_runs(tmp_path):
     from hourglass_pose_estimation_tpu.models import HourglassNet
     cfg = load_config(raw={
@@ -93,6 +117,41 @@ def test_estimator_runs(tmp_path):
     batch = est.run_batch(np.stack([frame, frame]))
     assert batch.shape == (2, 16, 2)
     np.testing.assert_array_equal(batch[0], batch[1])
+
+
+def test_estimator_device_preprocess_matches_host():
+    """The fused on-device preprocess (uint8 -> /255 -> halfpix resize
+    -> normalize, inside the forward program) must match the host cv2
+    path (normalize-then-resize): bilinear resampling commutes with the
+    per-channel affine normalization, so the two differ only by f32
+    rounding through the network."""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    cfg = load_config(raw={
+        'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_classes': 16},
+        'COMMON': {'dataset': 'mpii', 'in_res': 64, 'out_res': 16},
+    })
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    est = Estimator(cfg, params=variables['params'],
+                    batch_stats=variables['batch_stats'])
+    frames = np.random.RandomState(3).randint(
+        0, 255, (2, 120, 160, 3)).astype(np.uint8)
+    hm_dev = np.asarray(est._heatmaps(frames, device_preprocess=True))
+    hm_host = np.asarray(est._heatmaps(frames, device_preprocess=False))
+    # the Estimator model computes in bf16 (deploy default): the ~5e-7
+    # input agreement lands on bf16 quantization boundaries, so heatmap
+    # values can differ by a few quanta (~0.05 at magnitude ~6)
+    scale = np.abs(hm_host).max()
+    np.testing.assert_allclose(hm_dev, hm_host, rtol=0.05,
+                               atol=0.03 * scale)
+    # keypoints: near-tied argmax peaks of the random-init net may flip
+    # under bf16 quanta, so require agreement for the vast majority
+    k_dev = est.run_batch(frames)
+    k_host = est.run_batch(frames, device_preprocess=False)
+    agree = np.all(np.abs(k_dev - k_host) <= 8, axis=-1)
+    assert agree.mean() >= 0.8, agree.mean()
 
 
 def test_estimator_decode_mapping():

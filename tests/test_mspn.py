@@ -31,6 +31,21 @@ def test_resize_align_corners_matches_torch(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_resize_halfpix_matches_cv2(rng):
+    """cv2.resize INTER_LINEAR parity (half-pixel centers) for the
+    Estimator's on-device preprocess (ops/resize.py halfpix variant)."""
+    import cv2
+    from hourglass_pose_estimation_tpu.ops.resize import (
+        resize_bilinear_halfpix)
+    for (H, W, h, w) in [(120, 160, 64, 64), (64, 64, 256, 256),
+                         (33, 47, 64, 64), (64, 64, 64, 64)]:
+        x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear_halfpix(x, (h, w)))
+        ref = np.stack([cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+                        for f in x])
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_mspn_param_count_parity():
     for stacks, expected in REFERENCE_COUNTS.items():
         m = MSPN(num_stacks=stacks, num_classes=16, out_res=16,

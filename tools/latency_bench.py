@@ -9,11 +9,21 @@ surface — frames in, keypoints out).
 
 Timing discipline (CLAUDE.md): every sample is bounded by a host VALUE
 fetch; the tunnel's round-trip floor is measured with a trivial 1-op
-program and reported alongside, so device-side latency =
-measured - rtt_floor. Do not run while another TPU process is live.
+program the same chained way. Floor and model reps are INTERLEAVED so
+host contention biases both alike (a floor measured in a different
+load regime than the model produced negative "device-side" numbers in
+round 2), and a floor exceeding the model median is reported as
+unreliable instead of a negative subtraction.
+Do not run while another TPU process is live.
+
+--end-to-end adds the deploy path measured from HOST uint8 frames:
+each call ships a fresh 256^2 uint8 frame (H2D) into the fused
+preprocess (/255 -> bilinear resize -> normalize) + forward + decode
+program — the preprocess-inclusive serving number.
 
 Usage: python tools/latency_bench.py [--stacks 8] [--iters 30]
        [--no-fold] [--no-bf16] [--decode quarter|dark|none]
+       [--end-to-end]
 """
 
 import argparse
@@ -26,35 +36,66 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np
 
 
-def measure_chain(fn, arg, chain, reps):
-    """Median per-call latency over `reps` chains of `chain` calls.
+def make_rep(fn, arg, host_input=False):
+    """Return rep(chain) -> ms/call: one chained, value-fetch-bounded
+    measurement of `chain` serialized calls.
 
-    The tunnel round trip is ~26-45 ms and JITTERS by >15 ms run to run,
-    so single-call-minus-RTT timing is garbage. Instead each rep runs
+    The tunnel round trip is ~26-45 ms and JITTERS by >15 ms run to
+    run, so single-call-minus-RTT timing is garbage. Each rep runs
     `chain` calls serialized through a data dependency (the next input
     is perturbed by a scalar from the previous output) and pays ONE
     value fetch; the RTT amortizes to RTT/chain and its jitter with it.
+
+    host_input=True: `arg` stays a host numpy array and is re-shipped
+    every call (fresh H2D per frame — the end-to-end serving shape);
+    the chain then threads only the salt.
     """
     import jax
     import jax.numpy as jnp
 
-    def chained(x, salt):
-        out = fn(x + salt * 1e-30)
-        first = out[0] if isinstance(out, tuple) else out
-        return out, first.ravel()[0].astype(jnp.float32)
+    if host_input:
+        def chained(x, salt):
+            out = fn(x)
+            first = out[0] if isinstance(out, tuple) else out
+            return out, salt + first.ravel()[0].astype(jnp.float32) * 1e-30
+    else:
+        def chained(x, salt):
+            out = fn(x + salt * 1e-30)
+            first = out[0] if isinstance(out, tuple) else out
+            return out, first.ravel()[0].astype(jnp.float32)
 
     run = jax.jit(chained)
-    out, salt = run(arg, jnp.float32(0))
+    _, salt = run(arg, jnp.float32(0))
     float(salt)                                  # compile + warm
-    ts = []
-    for _ in range(reps):
+
+    def rep(chain):
         t0 = time.perf_counter()
         salt = jnp.float32(0)
         for _ in range(chain):
-            out, salt = run(arg, salt)
+            _, salt = run(arg, salt)
         float(salt)                              # one fetch bounds all
-        ts.append((time.perf_counter() - t0) / chain)
-    return np.asarray(ts) * 1000.0
+        return (time.perf_counter() - t0) / chain * 1000.0
+    return rep
+
+
+def measure_interleaved(reps_by_name, chain, iters):
+    """Alternate one rep of each measurement per round so slow-varying
+    host contention biases all of them equally."""
+    out = {name: [] for name in reps_by_name}
+    for _ in range(iters):
+        for name, rep in reps_by_name.items():
+            out[name].append(rep(chain))
+    return {name: np.asarray(ts) for name, ts in out.items()}
+
+
+def report(name, ts, floor_ts):
+    med = float(np.median(ts))
+    floor = float(np.median(floor_ts))
+    dev = (f'device-side ~{med - floor:.2f} ms' if med > floor else
+           'device-side unresolved (floor >= model: host-contended run)')
+    print(f'{name}: median {med:.2f} ms/call | per-call floor '
+          f'{floor:.2f} ms | {dev} '
+          f'(min {ts.min():.2f}, p90 {np.percentile(ts, 90):.2f})')
 
 
 def main(argv=None):
@@ -68,6 +109,7 @@ def main(argv=None):
                    choices=['quarter', 'dark', 'none'])
     p.add_argument('--no-fold', action='store_true')
     p.add_argument('--no-bf16', action='store_true')
+    p.add_argument('--end-to-end', action='store_true')
     args = p.parse_args(argv)
 
     import jax
@@ -91,21 +133,39 @@ def main(argv=None):
         fold_bn=not args.no_fold,
         weights_dtype=None if args.no_bf16 else jnp.bfloat16))
 
-    # residual per-call overhead floor measured the same chained way
-    # with a trivial 1-op program (dispatch + amortized RTT)
     probe = jnp.zeros((16, 2), jnp.float32)
-    rtt = measure_chain(lambda t: t + 1, probe, args.chain, args.iters)
-    rtt_ms = float(np.median(rtt))
+    reps = {
+        'floor': make_rep(lambda t: t + 1, probe),
+        'model': make_rep(fn, x),
+    }
 
-    ts = measure_chain(fn, x, args.chain, args.iters)
-    med = float(np.median(ts))
-    name = f'{args.stacks}-stack{" mobile" if args.mobile else ""}'
-    print(f'{name} {args.res}^2 decode={args.decode} '
-          f'fold={not args.no_fold} bf16w={not args.no_bf16}: '
-          f'median {med:.2f} ms/call (chain={args.chain}) | '
-          f'per-call floor {rtt_ms:.2f} ms | '
-          f'device-side ~{med - rtt_ms:.2f} ms '
-          f'(min {ts.min():.2f}, p90 {np.percentile(ts, 90):.2f})')
+    if args.end_to_end:
+        from hourglass_pose_estimation_tpu.ops.resize import (
+            resize_bilinear_halfpix)
+        mean = jnp.asarray([0.4068, 0.4443, 0.4660], jnp.float32)
+        std = jnp.asarray([0.2289, 0.2326, 0.2365], jnp.float32)
+        size = (args.res, args.res)
+
+        def e2e(frames_u8):
+            y = frames_u8.astype(jnp.float32) / 255.0
+            y = resize_bilinear_halfpix(y, size)
+            return fn((y - mean) / std)
+
+        frame = np.random.RandomState(0).randint(
+            0, 255, (1, args.res, args.res, 3)).astype(np.uint8)
+        reps['e2e(H2D+preproc)'] = make_rep(jax.jit(e2e), frame,
+                                            host_input=True)
+
+    ts = measure_interleaved(reps, args.chain, args.iters)
+    name = (f'{args.stacks}-stack{" mobile" if args.mobile else ""} '
+            f'{args.res}^2 decode={args.decode} fold={not args.no_fold} '
+            f'bf16w={not args.no_bf16}')
+    print(f'[interleaved floor/model reps, chain={args.chain}, '
+          f'iters={args.iters}]')
+    for key in reps:
+        if key == 'floor':
+            continue
+        report(f'{name} [{key}]', ts[key], ts['floor'])
     return 0
 
 
