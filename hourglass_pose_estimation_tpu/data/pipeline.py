@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from hourglass_pose_estimation_tpu.utils.transforms import (
     batched_affine_transforms, batched_apply_affine)
 from hourglass_pose_estimation_tpu.ops.warp import (
-    affine_warp, affine_warp_quad)
+    affine_warp, affine_warp_quad, affine_warp_separable)
 from hourglass_pose_estimation_tpu.ops.heatmap import render_gaussian_targets
 
 
@@ -137,7 +137,15 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
     # index probe suggested, and the quad's one-hot tap resolution adds
     # more VPU work than the row savings buy. Kept as an op with parity
     # tests; see BENCH_NOTES.md.)
-    imgs = affine_warp(canvas, inv_canvas, (R, R))
+    #
+    # Rotation-free programs (eval always; train when rot_factor == 0 —
+    # flips fold into a negative x-scale) sample an axis-aligned
+    # lattice, where the warp is two one-hot MXU matmuls instead of the
+    # gather: 5.6 vs 44 ms at B=64/256^2 on v5e (tools/warp_spike.py).
+    if train and spec.rot_factor > 0:
+        imgs = affine_warp(canvas, inv_canvas, (R, R))
+    else:
+        imgs = affine_warp_separable(canvas, inv_canvas, (R, R))
     mean = jnp.asarray(spec.mean, jnp.float32)
     std = jnp.asarray(spec.std, jnp.float32)
     imgs = (imgs / 255.0 - mean) / std

