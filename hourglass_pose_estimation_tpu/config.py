@@ -126,6 +126,9 @@ class EvalConfig:
     # the artifact (frames -> keypoints) and fold BN constants
     export_keypoints: bool = False
     export_fold_bn: bool = True
+    # bake /255 -> resize -> mean/std normalize into the artifact: the
+    # exported function then consumes RAW uint8 frames (camera bytes)
+    export_preprocess: bool = False
 
     def __post_init__(self):
         if self.decode not in ('quarter', 'dark'):

@@ -46,10 +46,20 @@ def main(argv):
     out_dir = os.path.join(cfg.common.checkpoint_dir, 'export')
     shape = (1, cfg.dataset.inp_res, cfg.dataset.inp_res, 3)
     decode = cfg.eval.decode if cfg.eval.export_keypoints else None
+    preprocess = None
+    if cfg.eval.export_preprocess:
+        # the artifact consumes RAW uint8 frames: /255 -> resize ->
+        # normalize run on device (EVAL.export_preprocess)
+        from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+        preprocess = get_meanstd(cfg.dataset.name)
     p1 = export_stablehlo(model, variables, shape,
                           os.path.join(out_dir, 'model.stablehlo'),
-                          decode=decode, fold_bn=cfg.eval.export_fold_bn)
-    print(f'wrote {p1}' + (f' (fused {decode} decode)' if decode else ''))
+                          decode=decode, fold_bn=cfg.eval.export_fold_bn,
+                          preprocess=preprocess,
+                          input_res=cfg.dataset.inp_res)
+    print(f'wrote {p1}'
+          + (f' (fused {decode} decode)' if decode else '')
+          + (' (uint8 in, fused preprocess)' if preprocess else ''))
     p2 = export_savedmodel(model, variables, shape,
                            os.path.join(out_dir, 'savedmodel'))
     print(f'wrote {p2}' if p2 else 'tensorflow unavailable; SavedModel skipped')

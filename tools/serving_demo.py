@@ -30,20 +30,33 @@ def _load(model_path):
     return load_stablehlo(model_path)
 
 
-def _prep(image_path, res, mean, std):
+def _prep(image_path, res, mean, std, raw=False):
     import cv2
     frame = cv2.imread(image_path)
     if frame is None:
         raise FileNotFoundError(image_path)
+    if raw:
+        # preprocess-fused artifact (EVAL.export_preprocess): ship raw
+        # uint8 at the artifact's input resolution; /255 + normalize
+        # (and any residual resize) run inside the exported program
+        return frame, cv2.resize(frame, (res, res))[None]
     x = frame.astype(np.float32) / 255.0
     x = (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     x = cv2.resize(x, (res, res))
     return frame, x[None]
 
 
-def _decode_draw(frame, heatmaps, skeleton=False):
+def _decode_draw(frame, out, skeleton=False, res=256):
     import cv2
     h, w = frame.shape[:2]
+    if isinstance(out, (tuple, list)):
+        # keypoints-surface artifact (EVAL.export_keypoints): (kps in
+        # network-input pixels, maxvals) — scale to the frame and draw
+        kps = np.asarray(out[0])[0] * np.array([w / res, h / res])
+        for x, y in kps:
+            cv2.circle(frame, (int(x), int(y)), 5, (0, 0, 255), -1)
+        return frame
+    heatmaps = out
     if skeleton:
         # NMS multi-peak decode (on device) + skeleton-line rendering —
         # the reference's post_process_heatmap + visualize path
@@ -68,22 +81,25 @@ def run_sync(args):
     from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
     fn = _load(args.model)
     mean, std = get_meanstd(args.dataset)
-    frame, x = _prep(args.image, args.res, mean, std)
+    frame, x = _prep(args.image, args.res, mean, std, raw=args.raw)
 
-    out = np.asarray(fn(x))  # warm-up / compile (host fetch = honest)
+    tuple_safe = lambda o: (tuple(np.asarray(t) for t in o)
+                            if isinstance(o, (tuple, list)) else np.asarray(o))
+    out = tuple_safe(fn(x))  # warm-up / compile (host fetch = honest)
     if args.profile:
         with jax.profiler.trace(args.profile):
-            np.asarray(fn(x))
+            tuple_safe(fn(x))
         print(f'profile written to {args.profile}')
     ts = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        out = np.asarray(fn(x))   # value fetch bounds the measurement
+        out = tuple_safe(fn(x))   # value fetch bounds the measurement
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts) * 1000
     print(f'avg {ts.mean():.3f} ms | median {np.median(ts):.3f} ms | '
           f'min {ts.min():.3f} ms over {args.iters} iters')
-    out_img = _decode_draw(frame, np.asarray(out), skeleton=args.skeleton)
+    out_img = _decode_draw(frame, out, skeleton=args.skeleton,
+                           res=args.res)
     if args.out:
         import cv2
         cv2.imwrite(args.out, out_img)
@@ -108,26 +124,28 @@ def run_async(args):
     os.makedirs(args.out_dir, exist_ok=True)
 
     # compile outside the timed region (model + decode kernels)
-    warm_frame, warm_x = _prep(frames[0], args.res, mean, std)
-    _decode_draw(warm_frame.copy(), np.asarray(fn(warm_x)),
-                 skeleton=args.skeleton)
+    warm_frame, warm_x = _prep(frames[0], args.res, mean, std,
+                               raw=args.raw)
+    _decode_draw(warm_frame.copy(), fn(warm_x), skeleton=args.skeleton,
+                 res=args.res)
 
     t_start = time.perf_counter()
     prev = None                                    # (path, frame, pending out)
     n = 0
     for path in frames:
-        frame, x = _prep(path, args.res, mean, std)
+        frame, x = _prep(path, args.res, mean, std, raw=args.raw)
         pending = fn(x)                            # dispatched, not awaited
         if prev is not None:
             p_path, p_frame, p_out = prev
-            img = _decode_draw(p_frame, np.asarray(p_out),
+            img = _decode_draw(p_frame, p_out, res=args.res,
                                skeleton=args.skeleton)  # syncs p_out
             cv2.imwrite(os.path.join(args.out_dir,
                                      os.path.basename(p_path)), img)
             n += 1
         prev = (path, frame, pending)
     p_path, p_frame, p_out = prev
-    img = _decode_draw(p_frame, np.asarray(p_out), skeleton=args.skeleton)
+    img = _decode_draw(p_frame, p_out, skeleton=args.skeleton,
+                       res=args.res)
     cv2.imwrite(os.path.join(args.out_dir, os.path.basename(p_path)), img)
     n += 1
     dt = time.perf_counter() - t_start
@@ -145,7 +163,7 @@ def run_sustained(args):
 
     fn = _load(args.model)
     mean, std = get_meanstd(args.dataset)
-    _, x = _prep(args.image, args.res, mean, std)
+    _, x = _prep(args.image, args.res, mean, std, raw=args.raw)
     import jax.numpy as jnp
     x = jnp.asarray(x)
 
@@ -208,6 +226,9 @@ def main(argv=None):
     ps.add_argument('--out', default='')
     ps.add_argument('--skeleton', action='store_true',
                     help='NMS decode + skeleton-line rendering')
+    ps.add_argument('--raw', action='store_true',
+                    help='artifact exported with EVAL.export_preprocess '
+                         '(uint8 frames in)')
     pa = sub.add_parser('async')
     pa.add_argument('model')
     pa.add_argument('frame_dir')
@@ -215,12 +236,14 @@ def main(argv=None):
     pa.add_argument('--res', type=int, default=256)
     pa.add_argument('--dataset', default='mscoco')
     pa.add_argument('--skeleton', action='store_true')
+    pa.add_argument('--raw', action='store_true')
     pu = sub.add_parser('sustained')
     pu.add_argument('model')
     pu.add_argument('image')
     pu.add_argument('--iters', type=int, default=100)
     pu.add_argument('--res', type=int, default=256)
     pu.add_argument('--dataset', default='mscoco')
+    pu.add_argument('--raw', action='store_true')
     args = p.parse_args(argv)
     if args.mode == 'sync':
         return run_sync(args)
