@@ -48,7 +48,7 @@ ITERS = int(os.environ.get('BENCH_ITERS', '10'))
 
 
 def build():
-    """Construct (step, state, raw, rng) for the headline config.
+    """Construct (step, state, raw, rng, spec) for the headline config.
 
     Shared with tools/profile_step.py so profiles measure exactly the
     benchmarked program.
@@ -73,20 +73,17 @@ def build():
     raw = ds.canvas_batch(list(range(BATCH)), canvas=RES)
     raw = {k: jax.device_put(v) for k, v in raw.items()}
     rng = jax.random.PRNGKey(1)
-    return step, state, raw, rng
+    return step, state, raw, rng, spec
 
 
 def main():
-    step, state, raw, rng = build()
+    step, state, raw, rng, spec = build()
 
     if OVERLAP:
+        # reuse build()'s spec so both modes benchmark the identical
+        # augmentation distribution by construction
         from hourglass_pose_estimation_tpu.runner.train_state import (
             make_overlapped_train_step, make_stage_fn)
-        from hourglass_pose_estimation_tpu.data import Synthetic, make_spec
-        ds = Synthetic(True, num_samples=BATCH, inp_res=RES,
-                       out_res=RES // 4, sigma=1, scale_factor=0.25,
-                       rot_factor=30)
-        spec = make_spec(ds)
         ostep = make_overlapped_train_step(spec)
         staged = make_stage_fn(spec)(raw, rng, state.step)
 

@@ -153,6 +153,10 @@ class CommonConfig:
     # NMS peak decode + skeleton-line rendering (the reference's
     # openvino_visualizer/utils.py:35-96 path) instead of circles
     skeleton: bool = False
+    # Fuse /255 + resize + normalize into the device forward program
+    # (deploy path; ships raw uint8). Off by default: the reference's
+    # host cv2 normalize-then-resize is the parity surface.
+    device_preprocess: bool = False
 
 
 @dataclass(frozen=True)

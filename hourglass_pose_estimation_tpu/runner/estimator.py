@@ -187,23 +187,38 @@ class Estimator:
 
     # -- inference ------------------------------------------------------
     def run(self, frame: np.ndarray, time_it: bool = True,
-            device_preprocess: bool = True):
+            device_preprocess: bool = False):
         """One frame -> [J, 2] int keypoints in frame coordinates.
 
-        Timing note: the measured interval runs until the heatmaps are
-        materialized on the host (np.asarray) — on this TPU transport,
-        block_until_ready acks before execution finishes, so a plain
-        "time the forward" print would under-report.
+        Defaults to the reference's host cv2 preprocess (normalize then
+        resize, estimator.py:39-54) so the parity surface is untouched;
+        pass device_preprocess=True for the fused deploy path.
+
+        Timing note: the measured interval covers the model program and
+        runs until the heatmaps are materialized on the host
+        (np.asarray) — on this TPU transport, block_until_ready acks
+        before execution finishes, so a plain "time the forward" print
+        would under-report. Host preprocess is excluded from the timed
+        window (as in the reference).
         """
-        start = time.time()
-        hms = np.asarray(self._heatmaps(frame, device_preprocess))
+        fh, fw = frame.shape[-3], frame.shape[-2]
+        if frame.ndim == 3:
+            frame = frame[None]
+        if device_preprocess:
+            staged = jnp.asarray(frame)
+            start = time.time()
+            hms = np.asarray(self._forward_raw(self.variables, staged))
+        else:
+            staged = self.preprocess(frame)
+            start = time.time()
+            hms = np.asarray(self._forward(self.variables, staged))
         if time_it:
             print(f'Inference time: {time.time() - start:.3f}s')
-        kps, _ = self.post_process_v2(hms, (frame.shape[1], frame.shape[0]))
+        kps, _ = self.post_process_v2(hms, (fw, fh))
         return kps[0]
 
     def run_skeleton(self, frame: np.ndarray,
-                     device_preprocess: bool = True):
+                     device_preprocess: bool = False):
         """One frame -> ([J, 3] heatmap-space (x, y, conf) NMS peaks,
         heatmap (H, W)) for skeleton rendering — the reference's
         `post_process_heatmap` path
@@ -214,7 +229,7 @@ class Estimator:
         return kps, tuple(hms.shape[1:3])
 
     def run_batch(self, frames: np.ndarray,
-                  device_preprocess: bool = True):
+                  device_preprocess: bool = False):
         """[B, H, W, 3] -> [B, J, 2] keypoints (batched path the
         reference lacks)."""
         hms = self._heatmaps(frames, device_preprocess)

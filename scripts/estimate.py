@@ -33,12 +33,14 @@ def main(argv):
         # NMS peak decode + skeleton lines (COMMON.skeleton=True), the
         # reference's openvino_visualizer rendering path
         from hourglass_pose_estimation_tpu.utils.visualize import draw_skeleton
-        kps, (hm_h, hm_w) = estimator.run_skeleton(frame)
+        kps, (hm_h, hm_w) = estimator.run_skeleton(
+            frame, device_preprocess=cfg.common.device_preprocess)
         draw_skeleton(frame, kps,
                       scale_x=frame.shape[1] / (hm_w * 4.0),
                       scale_y=frame.shape[0] / (hm_h * 4.0))
     else:
-        kps = estimator.run(frame)
+        kps = estimator.run(
+            frame, device_preprocess=cfg.common.device_preprocess)
         for x, y in kps:
             cv2.circle(frame, center=(int(x), int(y)), color=(0, 0, 255),
                        radius=5, thickness=-1)

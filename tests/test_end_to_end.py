@@ -148,7 +148,7 @@ def test_estimator_device_preprocess_matches_host():
                                atol=0.03 * scale)
     # keypoints: near-tied argmax peaks of the random-init net may flip
     # under bf16 quanta, so require agreement for the vast majority
-    k_dev = est.run_batch(frames)
+    k_dev = est.run_batch(frames, device_preprocess=True)
     k_host = est.run_batch(frames, device_preprocess=False)
     agree = np.all(np.abs(k_dev - k_host) <= 8, axis=-1)
     assert agree.mean() >= 0.8, agree.mean()

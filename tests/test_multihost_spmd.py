@@ -39,15 +39,27 @@ def test_two_process_spmd_matches_single_process(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
     env['PYTHONPATH'] = os.path.dirname(here)
+    # worker stdout goes to files, not PIPEs: with sequential
+    # communicate(), a second worker filling a 64 kB pipe would block
+    # its writes and deadlock the jax.distributed barrier for both
+    logfiles = [open(tmp_path / f'worker{i}.log', 'wb') for i in range(2)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(here, 'multihost_worker.py'),
          str(i), str(port), outs[i]],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, stdout=logfiles[i], stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out.decode(errors='replace'))
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        for f in logfiles:
+            f.close()
+    logs = [(tmp_path / f'worker{i}.log').read_text(errors='replace')
+            for i in range(2)]
     assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
 
     r0, r1 = (json.load(open(o)) for o in outs)

@@ -49,7 +49,7 @@ def main(argv=None):
     from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
 
     print(f'config: batch={BATCH} stacks={STACKS} res={RES}')
-    step, state, raw, rng = build()
+    step, state, raw, rng, _spec = build()
 
     # -- full step --------------------------------------------------
     # the step donates its state: thread it across timed calls

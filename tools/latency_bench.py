@@ -17,9 +17,11 @@ unreliable instead of a negative subtraction.
 Do not run while another TPU process is live.
 
 --end-to-end adds the deploy path measured from HOST uint8 frames:
-each call ships a fresh 256^2 uint8 frame (H2D) into the fused
-preprocess (/255 -> bilinear resize -> normalize) + forward + decode
-program — the preprocess-inclusive serving number.
+each call ships a fresh camera-resolution uint8 frame (H2D; default
+720p, --frame-res to change) into the fused preprocess (/255 ->
+bilinear resize to the network input -> normalize) + forward + decode
+program — the preprocess-inclusive serving number. The frame must be
+larger than --res or the fused resize degenerates to identity.
 
 Usage: python tools/latency_bench.py [--stacks 8] [--iters 30]
        [--no-fold] [--no-bf16] [--decode quarter|dark|none]
@@ -110,6 +112,9 @@ def main(argv=None):
     p.add_argument('--no-fold', action='store_true')
     p.add_argument('--no-bf16', action='store_true')
     p.add_argument('--end-to-end', action='store_true')
+    p.add_argument('--frame-res', type=int, nargs=2, default=(720, 1280),
+                   metavar=('H', 'W'),
+                   help='camera frame size shipped per e2e call')
     args = p.parse_args(argv)
 
     import jax
@@ -151,10 +156,14 @@ def main(argv=None):
             y = resize_bilinear_halfpix(y, size)
             return fn((y - mean) / std)
 
+        fh, fw = args.frame_res
+        # camera-resolution frame: the resize must actually run (at
+        # (res, res) it would early-return identity) and the H2D bytes
+        # must match a real deploy's per-frame volume
         frame = np.random.RandomState(0).randint(
-            0, 255, (1, args.res, args.res, 3)).astype(np.uint8)
-        reps['e2e(H2D+preproc)'] = make_rep(jax.jit(e2e), frame,
-                                            host_input=True)
+            0, 255, (1, fh, fw, 3)).astype(np.uint8)
+        reps[f'e2e(H2D {fh}x{fw}+preproc)'] = make_rep(
+            jax.jit(e2e), frame, host_input=True)
 
     ts = measure_interleaved(reps, args.chain, args.iters)
     name = (f'{args.stacks}-stack{" mobile" if args.mobile else ""} '

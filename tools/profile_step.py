@@ -141,7 +141,7 @@ def main(argv=None):
             np.asarray(out).sum()
     else:
         from bench import build  # bench.py exposes the step builder
-        step, state, raw, rng = build()
+        step, state, raw, rng, _spec = build()
         state, metrics = step(state, raw, rng)       # compile + warm
         float(metrics['loss'])
 

@@ -112,6 +112,10 @@ def loader_throughput(n_imgs=48, size=(720, 1280), canvas=256):
 
     out = {}
     for threads in (1, 4):
+        # untimed warm-up: first-touch faults on fresh mmap'd output
+        # buffers transiently cost 100-300 us/page on this container
+        # (CLAUDE.md hazard 8) and would corrupt the first timed rep
+        native_mod.load_canvas_batch(paths, canvas, threads=threads)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):

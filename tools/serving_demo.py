@@ -68,7 +68,7 @@ def _decode_draw(frame, out, skeleton=False, res=256):
         return draw_skeleton(frame, kps, scale_x=w / (hm_w * 4.0),
                              scale_y=h / (hm_h * 4.0))
     from hourglass_pose_estimation_tpu.ops.decode import decode_simple_argmax
-    kps, maxv = decode_simple_argmax(heatmaps, (256, 256), (w, h))
+    kps, maxv = decode_simple_argmax(heatmaps, (res, res), (w, h))
     kps = np.asarray(kps)[0]
     for x, y in kps:
         if x or y:

@@ -58,8 +58,6 @@ def main(argv=None):
     from hourglass_pose_estimation_tpu.data.pipeline import prepare_host_batch
     dev = prepare_host_batch({k: jax.device_put(v) for k, v in host.items()},
                              spec)
-    # re-materialize on device WITHOUT a host round trip
-    dev = {k: jnp.asarray(v) for k, v in dev.items()}
 
     # NOTE: prepare_host_batch (normalize + render) is part of the
     # device program in real training; here the staged batch is already
