@@ -154,6 +154,53 @@ def test_estimator_device_preprocess_matches_host():
     assert agree.mean() >= 0.8, agree.mean()
 
 
+def test_estimate_script_cli(tmp_path):
+    """Drive scripts/estimate.py end-to-end: YAML config -> checkpoint
+    restore -> frame -> keypoint circles / skeleton output image, in
+    both host-parity and COMMON.device_preprocess modes (the reference
+    surface is scripts/estimate.py:17-23)."""
+    import sys
+    import types
+    import cv2
+    import yaml
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = types.SimpleNamespace(
+        params=variables['params'], batch_stats=variables['batch_stats'],
+        opt_state={}, step=jnp.int32(0))
+    ckpt = str(tmp_path / 'ckpt')
+    ckpt_lib.save(ckpt, state, epoch=1, best_acc=0.0)
+
+    img_path = str(tmp_path / 'in.jpg')
+    cv2.imwrite(img_path, np.random.RandomState(0).randint(
+        0, 255, (120, 160, 3)).astype(np.uint8))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    import estimate
+
+    for i, common in enumerate((
+            {},                                # host cv2 parity path
+            {'device_preprocess': True},       # fused deploy path
+            {'skeleton': True})):              # NMS + skeleton lines
+        dest = str(tmp_path / f'out{i}.jpg')
+        cfg = {'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_blocks': 1,
+                         'num_classes': 16},
+               'COMMON': {'dataset': 'mpii', 'in_res': 64, 'out_res': 16,
+                          'resume': ckpt, 'image_path': img_path,
+                          'dest_path': dest, **common}}
+        cfg_path = str(tmp_path / f'cfg{i}.yaml')
+        with open(cfg_path, 'w') as fp:
+            yaml.safe_dump(cfg, fp)
+        assert estimate.main(['estimate.py', cfg_path]) == 0
+        out = cv2.imread(dest)
+        assert out is not None and out.shape == (120, 160, 3)
+
+
 def test_estimator_decode_mapping():
     """A delta heatmap must map through the corrected v2 decode to the
     stride-consistent frame location. (The reference's own synthesized

@@ -7,6 +7,7 @@ import sys
 
 import numpy as np
 import cv2
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
 
@@ -90,6 +91,46 @@ def test_generate_bbox_label_and_check(tmp_path):
     orphans = generate_bbox.check(str(img_dir), str(xml_dir), delete=True)
     assert len(orphans) == 1
     assert sorted(os.listdir(xml_dir)) == ['a.xml']
+
+
+def test_generate_bbox_frozen_graph_detector(tmp_path):
+    """The `frozen:<pb>` backend must load a TF1 frozen GraphDef with
+    the reference detector's tensor surface (detector.py:6-57) and
+    label through the same VOC pipeline. A tiny synthetic graph with
+    the standard tensor names stands in for a real detection model."""
+    tf = pytest.importorskip('tensorflow')
+
+    g = tf.compat.v1.Graph()
+    with g.as_default():
+        tf.compat.v1.placeholder(tf.uint8, [1, None, None, 3],
+                                 name='image_tensor')
+        # two detections: a person (class 1) above threshold and a face
+        # (class 2) the person filter must drop
+        tf.identity(tf.constant([[[0.25, 0.25, 0.75, 0.75],
+                                  [0.0, 0.0, 0.1, 0.1]]], tf.float32),
+                    name='detection_boxes')
+        tf.identity(tf.constant([[0.9, 0.9]], tf.float32),
+                    name='detection_scores')
+        tf.identity(tf.constant([[1.0, 2.0]], tf.float32),
+                    name='detection_classes')
+        tf.identity(tf.constant([2.0], tf.float32), name='num_detections')
+    pb = tmp_path / 'frozen.pb'
+    pb.write_bytes(g.as_graph_def().SerializeToString())
+
+    img_dir = tmp_path / 'imgs'
+    xml_dir = tmp_path / 'xmls'
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / 'a.jpg'), np.zeros((100, 200, 3), np.uint8))
+    generate_bbox.label(str(img_dir), str(xml_dir),
+                        detector_spec=f'frozen:{pb}')
+    import xml.etree.ElementTree as ET
+    root = ET.parse(xml_dir / 'a.xml').getroot()
+    objs = root.findall('object')
+    assert len(objs) == 1                      # face (class 2) filtered
+    bb = objs[0].find('bndbox')
+    # normalized [ymin=.25, xmin=.25, ymax=.75, xmax=.75] on 200x100
+    assert [int(bb.find(t).text) for t in
+            ('xmin', 'ymin', 'xmax', 'ymax')] == [50, 25, 150, 75]
 
 
 def test_inference_wrappers(rng):

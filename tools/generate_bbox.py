@@ -11,6 +11,11 @@ detector. The detector here is pluggable:
   * `--detector tf:<saved_model_dir>`: any TF2 SavedModel object
     detector with the standard detection signature (boxes/classes/
     scores), person class id 1;
+  * `--detector frozen:<graph.pb>`: a TF1 frozen inference graph with
+    the reference detector's tensor surface (`image_tensor:0` ->
+    `detection_{boxes,scores,classes}:0`, `/root/reference/tools/bbox/
+    detector.py:6-57`), executed through TF2's wrap_function — no TF1
+    session;
   * `check` subcommand: verify XML/image consistency and remove
     orphaned XMLs (parity with check_xml.py).
 
@@ -24,6 +29,8 @@ import glob
 import os
 import sys
 import xml.etree.ElementTree as ET
+
+import numpy as np
 
 
 def _write_voc_xml(xml_path, img_path, w, h, boxes):
@@ -73,11 +80,53 @@ class TFSavedModelDetector:
         return result
 
 
+class FrozenGraphDetector:
+    """TF1 frozen-graph object detector (the reference's Detector,
+    `/root/reference/tools/bbox/detector.py:6-61`), run without the TF1
+    session API: the GraphDef is imported into a concrete function via
+    `tf.compat.v1.wrap_function` and pruned to the standard detection
+    tensor surface. Keeps the reference's conventions: BGR input
+    flipped to RGB, normalized [ymin, xmin, ymax, xmax] boxes, person
+    class id 1 (class 2 = face, exposed via `classes_of_interest`).
+    """
+
+    TENSORS = ('detection_boxes:0', 'detection_scores:0',
+               'detection_classes:0')
+
+    def __init__(self, path, score_thr=0.5, classes_of_interest=(1,)):
+        import tensorflow as tf
+        graph_def = tf.compat.v1.GraphDef()
+        with open(path, 'rb') as f:
+            graph_def.ParseFromString(f.read())
+
+        def _import():
+            tf.compat.v1.import_graph_def(graph_def, name='')
+        wrapped = tf.compat.v1.wrap_function(_import, [])
+        self._fn = wrapped.prune(
+            wrapped.graph.as_graph_element('image_tensor:0'),
+            [wrapped.graph.as_graph_element(t) for t in self.TENSORS])
+        self.thr = score_thr
+        self.classes = tuple(classes_of_interest)
+
+    def __call__(self, img):
+        import tensorflow as tf
+        h, w = img.shape[:2]
+        # reference feeds RGB (detector.py:33 reverses the cv2 BGR)
+        inp = tf.convert_to_tensor(img[None, :, :, ::-1])
+        boxes, scores, classes = (t.numpy() for t in self._fn(inp))
+        keep = (np.isin(classes[0].astype(int), self.classes)
+                & (scores[0] > self.thr))
+        return [(x0 * w, y0 * h, x1 * w, y1 * h)
+                for y0, x0, y1, x1 in boxes[0][keep]]
+
+
 def make_detector(spec: str):
     if spec == 'full':
         return FullImageDetector()
     if spec.startswith('tf:'):
         return TFSavedModelDetector(spec[3:])
+    if spec.startswith('frozen:'):
+        return FrozenGraphDetector(spec[len('frozen:'):])
     raise ValueError(f'unknown detector {spec!r}')
 
 
