@@ -217,7 +217,12 @@ def load_config(path: Optional[str] = None,
             raise ValueError(f'override must be SECTION.key=value, got {ov!r}')
         key, value = ov.split('=', 1)
         section, name = key.split('.', 1)
-        data.setdefault(section.upper(), {})[name] = _coerce(value)
+        section = section.upper()
+        # an empty YAML section ('TRAIN:' with no keys) parses to None —
+        # setdefault would return it and crash the item assignment
+        if data.get(section) is None:
+            data[section] = {}
+        data[section][name] = _coerce(value)
 
     kwargs = {}
     for section, (attr, cls) in _SECTION_MAP.items():

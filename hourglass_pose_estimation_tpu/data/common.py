@@ -266,6 +266,12 @@ class PoseDataset:
                             if ok[j]:
                                 out[k] = imgs[j]
                                 qs[k] = scales[j]
+                                # half-pixel resize convention: content
+                                # sits at q*x_src + (q-1)/2 — record the
+                                # equivalent source offset (see cv2
+                                # branch below)
+                                offs[k] = (1.0 - scales[j]) / \
+                                    (2.0 * scales[j])
                                 widths[k] = ws[j]
                                 done[k] = True
 
@@ -298,6 +304,14 @@ class PoseDataset:
                                      interpolation=cv2.INTER_LINEAR)
                 out[k, :img.shape[0], :img.shape[1]] = img
                 qs[k] = q
+                # cv2.resize samples with half-pixel centers: canvas
+                # content sits at x_canvas = q*x_src + (q-1)/2, not
+                # q*x_src. The device warp composes x_canvas =
+                # q*(x_src - ox), so record ox = (1-q)/(2q) to make the
+                # two maps identical — without it every whole-image
+                # sample trains on pixels shifted (1-q)/(2q) source px
+                # against its rendered targets.
+                offs[k] = (1.0 - q) / (2.0 * q)
         return {
             'canvas': out,
             'canvas_scale': qs,

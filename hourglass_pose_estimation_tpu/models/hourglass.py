@@ -47,6 +47,9 @@ class HourglassNet(nn.Module):
     # BN batch statistics from the first k samples only (0 = full batch;
     # see models/norm.py — ghost-stat BN, an HBM-traffic optimization)
     bn_stat_samples: int = 0
+    # mesh axis over which train-mode BN statistics sync (models/norm.py
+    # axis_name); set by the explicit shard_map path when sync_bn=True
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,13 +65,15 @@ class HourglassNet(nn.Module):
                     name='conv1')(x)
         x = BatchNorm(use_running_average=not train, momentum=0.9,
                       epsilon=1e-5, dtype=jnp.float32,
-                      stat_samples=self.bn_stat_samples, name='bn1')(x)
+                      stat_samples=self.bn_stat_samples,
+                      axis_name=self.bn_axis_name, name='bn1')(x)
         x = nn.relu(x).astype(dt)
         # stem residuals mirror the reference's inplanes bookkeeping
         # (hourglass.py:21-24): 64 -> 128, pool, 128 -> 256, 256 -> 256.
         bneck = lambda planes, name: Bottleneck(
             planes, mobile=self.mobile, dtype=dt,
-            bn_stat_samples=self.bn_stat_samples, name=name)
+            bn_stat_samples=self.bn_stat_samples,
+            bn_axis_name=self.bn_axis_name, name=name)
         x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = bneck(128, 'layer2')(x, train=train)
@@ -85,14 +90,17 @@ class HourglassNet(nn.Module):
                    mobile=self.mobile, skip_mode=self.skip_mode,
                    dtype=dt, fuse_upsample=self.fuse_upsample,
                    bn_stat_samples=self.bn_stat_samples,
+                   bn_axis_name=self.bn_axis_name,
                    name=f'hg{i}')(x, train)
             y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
                               dt, bn_stat_samples=self.bn_stat_samples,
+                              bn_axis_name=self.bn_axis_name,
                               name=f'res{i}')(y, train=train)
             y = conv1x1(ch, f'fc{i}')(y)
             y = BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32,
                           stat_samples=self.bn_stat_samples,
+                          axis_name=self.bn_axis_name,
                           name=f'fc_bn{i}')(y)
             y = nn.relu(y).astype(dt)
             score = conv1x1(self.num_classes, f'score{i}')(y)
@@ -118,6 +126,7 @@ class HourglassStem(nn.Module):
     mobile: bool = False
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,11 +137,13 @@ class HourglassStem(nn.Module):
                     name='conv1')(x)
         x = BatchNorm(use_running_average=not train, momentum=0.9,
                       epsilon=1e-5, dtype=jnp.float32,
-                      stat_samples=self.bn_stat_samples, name='bn1')(x)
+                      stat_samples=self.bn_stat_samples,
+                      axis_name=self.bn_axis_name, name='bn1')(x)
         x = nn.relu(x).astype(dt)
         bneck = lambda planes, name: Bottleneck(
             planes, mobile=self.mobile, dtype=dt,
-            bn_stat_samples=self.bn_stat_samples, name=name)
+            bn_stat_samples=self.bn_stat_samples,
+            bn_axis_name=self.bn_axis_name, name=name)
         x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = bneck(128, 'layer2')(x, train=train)
@@ -159,6 +170,7 @@ class HourglassStack(nn.Module):
     dtype: Any = jnp.bfloat16
     out_dtype: Any = jnp.float32
     bn_stat_samples: int = 0
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -170,14 +182,17 @@ class HourglassStack(nn.Module):
         y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
                       mobile=self.mobile, skip_mode=self.skip_mode,
                       dtype=dt, bn_stat_samples=self.bn_stat_samples,
+                      bn_axis_name=self.bn_axis_name,
                       name='hg')(x, train)
         y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
                           dt, bn_stat_samples=self.bn_stat_samples,
+                          bn_axis_name=self.bn_axis_name,
                           name='res')(y, train=train)
         y = conv1x1(ch, 'fc')(y)
         y = BatchNorm(use_running_average=not train, momentum=0.9,
                       epsilon=1e-5, dtype=jnp.float32,
-                      stat_samples=self.bn_stat_samples, name='fc_bn')(y)
+                      stat_samples=self.bn_stat_samples,
+                      axis_name=self.bn_axis_name, name='fc_bn')(y)
         y = nn.relu(y).astype(dt)
         score = conv1x1(self.num_classes, 'score')(y)
         fc_b = conv1x1(ch, 'fc_back')(y)
@@ -200,6 +215,7 @@ def hg(**kwargs):
         dtype=kwargs.get('dtype', jnp.bfloat16),
         remat=kwargs.get('remat', False),
         bn_stat_samples=kwargs.get('bn_stat_samples', 0),
+        bn_axis_name=kwargs.get('bn_axis_name', None),
     )
 
 

@@ -61,6 +61,7 @@ class Bottleneck(nn.Module):
     mobile: bool = False
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0    # 0 = full-batch BN statistics (parity)
+    bn_axis_name: str = None    # cross-shard BN stat sync (norm.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,7 +69,8 @@ class Bottleneck(nn.Module):
         c_out = self.planes * EXPANSION
         norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, stat_samples=self.bn_stat_samples, name=name)
+            dtype=jnp.float32, stat_samples=self.bn_stat_samples,
+            axis_name=self.bn_axis_name, name=name)
         conv = lambda feats, k, s, groups, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             feature_group_count=groups, use_bias=True,
@@ -93,12 +95,14 @@ class ResidualChain(nn.Module):
     mobile: bool = False
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_blocks):
             x = Bottleneck(self.planes, mobile=self.mobile, dtype=self.dtype,
                            bn_stat_samples=self.bn_stat_samples,
+                           bn_axis_name=self.bn_axis_name,
                            name=f'block{i}')(x, train=train)
         return x
 
@@ -122,13 +126,15 @@ class Hourglass(nn.Module):
     # decoder merge (sum mode only; TPU backend only)
     fuse_upsample: bool = False
     bn_stat_samples: int = 0
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.skip_mode in ('sum', 'concat')
         chain = lambda name: ResidualChain(
             self.planes, self.num_blocks, self.mobile, self.dtype,
-            bn_stat_samples=self.bn_stat_samples, name=name)
+            bn_stat_samples=self.bn_stat_samples,
+            bn_axis_name=self.bn_axis_name, name=name)
 
         # Encoder: at each level n = depth..1, the skip branch hg[n-1][0]
         # sees the pre-pool features; the trunk is pooled then hg[n-1][1].

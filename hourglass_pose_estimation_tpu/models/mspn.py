@@ -244,6 +244,14 @@ def mspn(**kwargs):
     num_blocks=1). We accept an explicit `up_channel_num` (default 256)
     and ignore `num_blocks` — documented fix.
     """
+    # options the Trainer passes unconditionally but MSPN does not
+    # implement: reject non-default values instead of silently ignoring
+    # them (a TRAIN.remat=True run must not proceed with full activation
+    # memory while the user believes remat is on)
+    for opt in ('remat', 'bn_stat_samples', 'bn_axis_name'):
+        if kwargs.get(opt):
+            raise ValueError(f'arch=mspn does not support {opt}; '
+                             f'got {opt}={kwargs[opt]!r}')
     return MSPN(num_stacks=kwargs['num_stacks'],
                 num_classes=kwargs['num_classes'],
                 out_res=kwargs.get('out_res', 64),

@@ -31,6 +31,13 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = None
     stat_samples: int = 0      # 0 = full batch (flax parity)
+    # Cross-device statistic sync (flax nn.BatchNorm's axis_name): when
+    # set, train-mode batch mean and E[x^2] are pmean'd over that mesh
+    # axis BEFORE the variance is formed, giving exact global-batch
+    # statistics (pmean of per-shard variances would drop the variance
+    # of the shard means). Train-mode apply then requires the axis to
+    # be bound (shard_map/pmap); eval mode never emits the collective.
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
@@ -57,6 +64,9 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=axes)
             # fast variance: E[x^2] - E[x]^2 (flax use_fast_variance)
             mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum

@@ -85,11 +85,5 @@ def resize_bilinear_align_corners(x: jax.Array, out_hw) -> jax.Array:
     h, w = int(out_hw[0]), int(out_hw[1])
     if (H, W) == (h, w):
         return x
-    mh = jnp.asarray(_interp_matrix(H, h))               # [h, H]
-    mw = jnp.asarray(_interp_matrix(W, w))               # [w, W]
-    dt = x.dtype
-    y = jnp.einsum('hH,bHWc->bhWc', mh, x.astype(jnp.float32),
-                   precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum('wW,bhWc->bhwc', mw, y,
-                   precision=jax.lax.Precision.HIGHEST)
-    return y.astype(dt)
+    return _separable_resize(x, jnp.asarray(_interp_matrix(H, h)),
+                             jnp.asarray(_interp_matrix(W, w)))

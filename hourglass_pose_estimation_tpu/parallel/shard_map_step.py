@@ -14,8 +14,16 @@ Why both exist:
     choose: `sync_bn=False` reproduces torch DataParallel's silent
     per-replica BatchNorm statistics (the reference's actual training
     behavior, SURVEY.md §7 "hard parts"); `sync_bn=True` matches the
-    implicit path's global-batch statistics (verified equivalent in
-    tests).
+    implicit path's global-batch statistics — PROVIDED the model was
+    built with `bn_axis_name='data'` (models/norm.py), which pmeans
+    the batch mean and E[x^2] across shards inside the forward so the
+    normalization (and gradients) see global statistics. The Trainer
+    wires this automatically for TRAIN.explicit_collectives +
+    TRAIN.sync_bn. The post-step running-stat pmean below is then a
+    numeric no-op kept as an invariant; on a model built WITHOUT
+    bn_axis_name it is the only sync and merely averages per-shard
+    running stats (forward still normalizes per-shard — DataParallel
+    semantics with merged running stats, NOT global-batch BN).
 """
 
 from __future__ import annotations

@@ -100,6 +100,20 @@ class Evaluator:
         """
         flip_test = self.cfg.eval.flip_test if flip_test is None else flip_test
         perm = self.spec.flip_perm
+        if self.cfg.model.subset:
+            # the model emits len(subset) channels: the flip permutation
+            # must be re-indexed into subset space (only possible when
+            # the subset is closed under the L/R pairing)
+            sub = list(self.cfg.model.subset)
+            try:
+                perm = tuple(sub.index(perm[j]) for j in sub)
+            except ValueError:
+                if flip_test:
+                    raise ValueError(
+                        'EVAL.flip_test requires MODEL.subset to be '
+                        'closed under the flip pairs; got '
+                        f'{sub} with flip_perm {perm}')
+                perm = tuple(range(len(sub)))
 
         @jax.jit
         def forward(state, batch):
@@ -118,6 +132,11 @@ class Evaluator:
 
         N = len(self.ds)
         J = self.ds.n_joints
+        # MODEL.subset: the model emits len(subset) channels; scatter
+        # them into the dataset's full joint set (untrained joints stay
+        # 0 and score as misses — the honest reading of a subset run)
+        cols = (np.asarray(self.cfg.model.subset, np.int64)
+                if self.cfg.model.subset else np.arange(J))
         all_preds = np.zeros((N, J, 2), np.float32)
         all_scores = np.zeros((N, J), np.float32)
         for idx, valid in self.loader.epoch_indices():
@@ -127,8 +146,8 @@ class Evaluator:
             preds, maxv = np.asarray(preds), np.asarray(maxv)
             for k, (i, v) in enumerate(zip(idx, valid)):
                 if v > 0:
-                    all_preds[i] = preds[k]
-                    all_scores[i] = maxv[k].reshape(J)
+                    all_preds[i, cols] = preds[k]
+                    all_scores[i, cols] = maxv[k].reshape(len(cols))
         if return_scores:
             return all_preds, all_scores
         return all_preds

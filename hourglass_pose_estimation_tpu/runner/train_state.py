@@ -233,7 +233,13 @@ def make_eval_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
         outs = state.apply_fn(
             {'params': state.params, 'batch_stats': state.batch_stats},
             image, train=False)
-        loss = heatmap_mse_loss(outs, target, tw)
+        # the loss means over the full padded batch; padded rows
+        # contribute exactly 0 (tw and target zeroed above), so rescale
+        # by B/n to make it a mean over VALID samples — the aggregators
+        # weight per-batch means by n, and without this the tail batch
+        # would enter deflated by n/B.
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        loss = heatmap_mse_loss(outs, target, tw) * (image.shape[0] / n)
         acc, per_joint, cnt = accuracy(outs[-1], target, thr=pck_thr)
         return {'loss': loss, 'acc': acc, 'per_joint': per_joint,
                 'n': jnp.sum(valid)}

@@ -51,12 +51,20 @@ class Trainer:
                             or (len(mc.subset) if mc.subset else 0)
                             or n_joints_for(dc.name))
         dtype = jnp.bfloat16 if tc.precision == 'bf16' else jnp.float32
+        # explicit shard_map path with sync_bn: the model's train-mode BN
+        # syncs its batch statistics over the 'data' axis IN the forward
+        # (models/norm.py axis_name) — matching the implicit jit path's
+        # global-batch statistics exactly. Eval/init never emit the
+        # collective, so the same model serves the eval step.
+        bn_axis = ('data' if tc.explicit_collectives and tc.sync_bn
+                   else None)
         self.model = get_model(mc.arch, num_stacks=mc.num_stacks,
                                num_blocks=mc.num_blocks,
                                num_classes=self.num_classes,
                                mobile=mc.mobile, skip_mode=mc.skip_mode,
                                dtype=dtype, remat=tc.remat,
-                               bn_stat_samples=tc.bn_stat_samples)
+                               bn_stat_samples=tc.bn_stat_samples,
+                               bn_axis_name=bn_axis)
 
         ds_kwargs = dict(image_path=dc.image_path,
                          annotation_path=dc.annotation_path,
@@ -121,7 +129,8 @@ class Trainer:
             from hourglass_pose_estimation_tpu.models.hourglass import (
                 HourglassStem, HourglassStack)
             self._stem = HourglassStem(mobile=mc.mobile,
-                                       dtype=self.model.dtype)
+                                       dtype=self.model.dtype,
+                                       bn_stat_samples=tc.bn_stat_samples)
             self._stack = HourglassStack(
                 num_blocks=mc.num_blocks, num_classes=self.num_classes,
                 mobile=mc.mobile, skip_mode=mc.skip_mode,

@@ -36,8 +36,22 @@ def summarize(model, input_shape: Tuple[int, ...], train: bool = False,
         compute_flops=False, compute_vjp_flops=False)(x, train=train)
 
 
-def profile_step(fn, *args, trace_dir: str = '/tmp/jax-trace'):
-    """Run fn once under the jax profiler; returns the trace dir."""
+def profile_step(fn, *args, trace_dir: str = '/tmp/jax-trace',
+                 allow_remote_tpu: bool = False):
+    """Run fn once under the jax profiler; returns the trace dir.
+
+    WARNING: over a tunneled/remote TPU transport (platform 'axon'),
+    `jax.profiler.trace` can block indefinitely (observed >25 min at 0%
+    CPU; see CLAUDE.md hazard 7) — on such backends this raises unless
+    `allow_remote_tpu=True`; use tools/decompose_bench.py (chained
+    value-fetch phase timing) there instead.
+    """
+    platform = jax.devices()[0].platform
+    if platform not in ('cpu', 'gpu', 'tpu') and not allow_remote_tpu:
+        raise RuntimeError(
+            f"jax.profiler.trace hangs on remote transport {platform!r}; "
+            "pass allow_remote_tpu=True to force, or use "
+            "tools/decompose_bench.py for phase timing")
     jax.block_until_ready(fn(*args))         # compile outside the trace
     with jax.profiler.trace(trace_dir):
         jax.block_until_ready(fn(*args))

@@ -73,6 +73,16 @@ def test_overrides():
     assert cfg.dataset.name == 'mpii'
 
 
+def test_override_on_empty_yaml_section(tmp_path):
+    """A YAML file with an empty section ('TRAIN:' parses to None) must
+    still accept SECTION.key=value overrides for that section."""
+    y = tmp_path / 'empty_section.yaml'
+    y.write_text('TRAIN:\nMODEL:\n  num_stacks: 2\n')
+    cfg = load_config(str(y), overrides=['TRAIN.train_batch=32'])
+    assert cfg.train.train_batch == 32
+    assert cfg.model.num_stacks == 2
+
+
 def test_validation_errors():
     with pytest.raises(ValueError):
         load_config(raw={'MODEL': {'skip_mode': 'nope'}})

@@ -72,6 +72,38 @@ def test_predict_keypoints_shapes_and_fliptest():
     assert np.abs(preds_flip).max() < 500
 
 
+def test_predict_keypoints_with_subset():
+    """MODEL.subset: the model emits len(subset) channels; the official
+    prediction path must scatter them into the dataset's full joint set
+    (and re-index the flip permutation into subset space)."""
+    subset = [0, 5]                       # flip-closed pair (0 <-> 5)
+    cfg = _tiny_cfg(MODEL={'subset': subset, 'num_classes': 0},
+                    EVAL={'flip_test': False})
+    ev = Evaluator(cfg, verbose=False)
+    from hourglass_pose_estimation_tpu.runner.train_state import (
+        make_optimizer, init_state)
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    model = HourglassNet(num_stacks=1, num_blocks=1,
+                         num_classes=len(subset), dtype=jnp.float32)
+    tx = make_optimizer(1e-3, [], 0.1, 1)
+    state = init_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+
+    preds, scores = ev.predict_keypoints(state, return_scores=True)
+    assert preds.shape == (8, 16, 2)
+    assert scores.shape == (8, 16)
+    off = [j for j in range(16) if j not in subset]
+    assert np.all(preds[:, off] == 0) and np.all(scores[:, off] == 0)
+    assert np.any(preds[:, subset] != 0)
+    # flip-closed subset: flip_test path must run (subset-space perm)
+    preds_f = ev.predict_keypoints(state, flip_test=True)
+    assert preds_f.shape == (8, 16, 2)
+    # non-flip-closed subset + flip_test must fail loudly
+    cfg_bad = _tiny_cfg(MODEL={'subset': [0, 1], 'num_classes': 0})
+    ev_bad = Evaluator(cfg_bad, verbose=False)
+    with pytest.raises(ValueError, match='flip'):
+        ev_bad.predict_keypoints(state, flip_test=True)
+
+
 def test_pckh_evaluator(tmp_path):
     """Fabricated gt .mat with known distances -> exact PCKh table."""
     from scipy.io import savemat

@@ -202,6 +202,62 @@ def test_crop_aware_canvas_matches_host_fullres_warp():
         np.median(err_whole), np.median(err_crop))
 
 
+class _RampDS(PoseDataset):
+    """A triangle-wave texture (period 64 px, slope ±4/px) in a large
+    frame: smooth enough that a q=0.25 downscale preserves it, steep
+    enough that any sub-pixel misalignment shows as intensity error."""
+    name = 'rampds'
+    n_joints = 16
+    flip_pairs = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
+
+    def __init__(self, **kw):
+        kw.setdefault('inp_res', 256)
+        kw.setdefault('out_res', 64)
+        super().__init__(False, **kw)
+
+    def _load_records(self):
+        from hourglass_pose_estimation_tpu.data.common import PoseRecords
+        F = 1024
+        x = np.arange(F, dtype=np.float32)
+        tri = np.abs((x % 64) - 32.0) * (255.0 / 32.0)       # slope ±8
+        img = np.zeros((F, F, 3), np.float32)
+        img[..., 0] = tri[None, :]                           # x-ramp
+        img[..., 1] = tri[:, None]                           # y-ramp
+        img[..., 2] = 128.0
+        imgs = img[None].astype(np.uint8)
+        centers = np.array([[400.0, 520.0]], np.float32)
+        scales = np.full((1, 2), 320.0 / 200.0, np.float32)  # 320 px box
+        joints = np.tile(centers[:, None, :], (1, 16, 1)).astype(np.float32)
+        return PoseRecords(centers=centers, scales=scales, joints=joints,
+                           vis=np.ones((1, 16), np.float32),
+                           widths=np.full((1,), float(F), np.float32),
+                           images=imgs)
+
+
+def test_whole_image_canvas_alignment_matches_host():
+    """The whole-image canvas path downscales with cv2.resize, whose
+    half-pixel convention puts content at q*x_src + (q-1)/2 — the
+    recorded canvas_offset must compensate so the device crop aligns
+    with the host cv2 oracle. At q = 0.25 an uncompensated offset is
+    1.5 source px, which on this texture is ~10 intensity units of
+    median error; aligned, the residual is downscale blur only."""
+    ds = _RampDS()
+    spec = make_spec(ds)
+    host = ds.host_batch([0], np.random.RandomState(0), train=False)
+    ref = host['image'].astype(np.float32)                   # [1,256,256,3]
+
+    batch = ds.canvas_batch([0], canvas=256, crop_aware=False)
+    assert float(batch['canvas_scale'][0]) == 0.25
+    out = augment_batch(batch, jax.random.PRNGKey(0), spec, False)
+    img = np.asarray(out['image'])
+    mean = np.asarray(spec.mean); std = np.asarray(spec.std)
+    dev = (img * std + mean) * 255.0
+
+    err = np.abs(dev - ref)
+    assert np.median(err) < 2.5, np.median(err)
+    assert np.percentile(err, 90) < 6.0, np.percentile(err, 90)
+
+
 def test_crop_aware_train_mode_covers_rotation_and_flip():
     """Train-time jitter/rotation/flip must stay inside the packed
     region. Oracle: a frame-sized whole-image canvas (q=1, lossless) —

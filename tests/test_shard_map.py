@@ -63,6 +63,47 @@ def test_per_replica_bn_differs_from_sync():
     assert max(diffs) > 1e-6, 'per-replica stats should differ from synced'
 
 
+def test_bn_axis_name_matches_global_batch_stats():
+    """A model built with bn_axis_name='data' and applied under
+    shard_map over a heterogeneous sharded batch must produce the SAME
+    train-mode outputs and running statistics as the plain model on the
+    full batch — i.e. the in-forward pmean of (mean, E[x^2]) yields
+    exact global-batch BatchNorm, not DataParallel's per-shard stats."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh(8, 1)
+    kw = dict(num_stacks=1, num_blocks=1, num_classes=16,
+              dtype=jnp.float32)
+    model_sync = HourglassNet(bn_axis_name='data', **kw)
+    model_ref = HourglassNet(**kw)
+    variables = model_ref.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+
+    # heterogeneous shards: per-sample scale so shard means differ (the
+    # case where pmean-of-variance would be biased low)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 64, 64, 3))
+    x = x * (0.2 + jnp.arange(16.0)[:, None, None, None] / 8.0)
+
+    def fwd(v, xs):
+        outs, mut = model_sync.apply(v, xs, train=True,
+                                     mutable=['batch_stats'])
+        return outs, mut['batch_stats']
+
+    fn = shard_map(fwd, mesh=mesh, in_specs=(P(), P('data')),
+                   out_specs=(P(None, 'data'), P()), check_rep=False)
+    outs_s, stats_s = jax.jit(fn)(variables, x)
+
+    outs_r, mut_r = model_ref.apply(variables, x, train=True,
+                                    mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(outs_s), np.asarray(outs_r),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(stats_s),
+                    jax.tree.leaves(mut_r['batch_stats'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_shard_map_matches_implicit_path():
     """Same data, same rng handling -> loss close to the implicit jit
     path (identical math up to reduction order)."""

@@ -97,6 +97,16 @@ def test_eval_step_padding_masked():
     m = estep(state, raw, valid)
     assert int(m['n']) == 2
     assert np.isfinite(float(m['loss']))
+    # the per-batch loss must be a mean over VALID samples: a padded
+    # batch of [0, 1, pad, pad] must report (close to) the loss of the
+    # exact batch [0, 1] — without the B/n rescale it came back
+    # deflated by n/B (the aggregators weight per-batch means by n).
+    raw2 = ds.canvas_batch([0, 1], canvas=64)
+    m2 = estep(state, raw2, jnp.asarray([1.0, 1.0]))
+    # batch-stats-free eval forward: only the (deterministic) eval
+    # pipeline differs across the two batch shapes
+    np.testing.assert_allclose(float(m['loss']), float(m2['loss']),
+                               rtol=1e-5)
 
 
 def test_checkpoint_roundtrip(tmp_path):

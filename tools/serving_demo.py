@@ -87,9 +87,14 @@ def run_sync(args):
                             if isinstance(o, (tuple, list)) else np.asarray(o))
     out = tuple_safe(fn(x))  # warm-up / compile (host fetch = honest)
     if args.profile:
-        with jax.profiler.trace(args.profile):
-            tuple_safe(fn(x))
-        print(f'profile written to {args.profile}')
+        if jax.devices()[0].platform not in ('cpu', 'gpu', 'tpu'):
+            print(f'skipping --profile: jax.profiler.trace hangs on the '
+                  f'{jax.devices()[0].platform!r} remote transport '
+                  f'(CLAUDE.md hazard 7)')
+        else:
+            with jax.profiler.trace(args.profile):
+                tuple_safe(fn(x))
+            print(f'profile written to {args.profile}')
     ts = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
