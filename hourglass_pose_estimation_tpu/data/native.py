@@ -62,7 +62,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
-        if not hasattr(lib, 'hl_load_region_batch') or lib.hl_version() < 2:
+        if not hasattr(lib, 'hl_load_region_batch') or lib.hl_version() < 3:
             # stale .so from a previous build: rebuild once
             try:
                 os.remove(_LIB_PATH)

@@ -179,6 +179,11 @@ void load_region_one(const char* path, int canvas, float cx, float cy,
                   resized.data() + static_cast<size_t>(y) * ow * 3,
                   static_cast<size_t>(ow) * 3);
     *q_out = q;
+    // resize_bilinear uses half-pixel centers: content sits at
+    // q*x_src + (q-1)/2, and the device warp composes q*(x_src - ox),
+    // so report the compensating source offset (0 when q == 1).
+    *ox_out = (1.0f - q) / (2.0f * q);
+    *oy_out = *ox_out;
     return;
   }
 
@@ -300,4 +305,4 @@ extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
   return ok.load();
 }
 
-extern "C" int hl_version() { return 2; }
+extern "C" int hl_version() { return 3; }
