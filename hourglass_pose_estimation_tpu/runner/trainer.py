@@ -42,9 +42,14 @@ class Trainer:
     """Builds model/optimizer/datasets from a Config and runs training."""
 
     def __init__(self, cfg: Config, num_classes: Optional[int] = None,
-                 verbose: bool = True):
+                 verbose: bool = True, eval_only: bool = False):
+        """eval_only=True skips loading the TRAIN split (its annotations
+        need not exist on an eval-only machine) — the val dataset stands
+        in for the pipeline spec and the never-iterated train loader.
+        `train()` refuses to run in this mode."""
         self.cfg = cfg
         self.verbose = verbose
+        self.eval_only = eval_only
         mc, dc, tc = cfg.model, cfg.dataset, cfg.train
 
         self.num_classes = (num_classes or mc.num_classes
@@ -71,8 +76,9 @@ class Trainer:
                          inp_res=dc.inp_res, out_res=dc.out_res,
                          sigma=dc.sigma, scale_factor=dc.scale_factor,
                          rot_factor=dc.rot_factor, num_samples=dc.num_samples)
-        self.train_ds = get_dataset(dc.name, True, **ds_kwargs)
         self.val_ds = get_dataset(dc.name, False, **ds_kwargs)
+        self.train_ds = (self.val_ds if eval_only
+                         else get_dataset(dc.name, True, **ds_kwargs))
         self.spec = make_spec(self.train_ds)
 
         # multi-host SPMD: every process loads its contiguous slice of
@@ -393,6 +399,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self):
+        if self.eval_only:
+            raise RuntimeError('Trainer was built with eval_only=True '
+                               '(no train split loaded)')
         cfg = self.cfg
         os.makedirs(self.ckpt_dir, exist_ok=True)
         if self.writer is None:

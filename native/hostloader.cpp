@@ -48,6 +48,11 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels,
 
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
+  // declared BEFORE setjmp: a longjmp from jpeg_err_exit must not skip
+  // this object's initialization (UB) — the error path returns through
+  // normal scope exit, so the destructor runs and nothing leaks even
+  // when a corrupt JPEG aborts mid-decode
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) {
@@ -65,7 +70,7 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels,
   const int h = cinfo.output_height;
   const int ch = cinfo.output_components;  // 3 for JCS_RGB
   pixels->assign(static_cast<size_t>(w) * h * 3, 0);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * ch);
+  row.resize(static_cast<size_t>(w) * ch);
   uint8_t* rptr = row.data();
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = cinfo.output_scanline;
@@ -117,6 +122,36 @@ void resize_bilinear(const uint8_t* src, int w, int h, uint8_t* dst,
   }
 }
 
+// Whole-image packing: scale by q = canvas/max(w, h), zero-pad
+// bottom/right. resize_bilinear samples with half-pixel centers, so
+// the packed content sits at q*x_src + (q-1)/2; the compensating
+// source offset (1-q)/(2q) is written to ox/oy when provided (the
+// canvas-batch ABI has no offset outputs — its Python caller applies
+// the same formula from the returned scale).
+void pack_whole_image(const std::vector<uint8_t>& pixels, int w, int h,
+                      int canvas, uint8_t* out_img, float* q_out,
+                      float* ox_out, float* oy_out) {
+  const float q = static_cast<float>(canvas) / std::max(w, h);
+  const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
+  const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
+  std::vector<uint8_t> resized;
+  const uint8_t* src = pixels.data();
+  if (!(ow == w && oh == h)) {
+    resized.resize(static_cast<size_t>(ow) * oh * 3);
+    resize_bilinear(pixels.data(), w, h, resized.data(), ow, oh);
+    src = resized.data();
+  }
+  for (int y = 0; y < oh; ++y) {
+    std::memcpy(out_img + static_cast<size_t>(y) * canvas * 3,
+                src + static_cast<size_t>(y) * ow * 3,
+                static_cast<size_t>(ow) * 3);
+  }
+  *q_out = q;
+  const float off = (1.0f - q) / (2.0f * q);
+  if (ox_out) *ox_out = off;
+  if (oy_out) *oy_out = off;
+}
+
 void load_one(const char* path, int canvas, uint8_t* out_img,
               float* scale, float* width, float* height) {
   std::vector<uint8_t> pixels;
@@ -126,22 +161,7 @@ void load_one(const char* path, int canvas, uint8_t* out_img,
   *width = 0.0f;
   *height = 0.0f;
   if (!decode_jpeg(path, &pixels, &w, &h) || w <= 0 || h <= 0) return;
-
-  const float q = static_cast<float>(canvas) / std::max(w, h);
-  const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
-  const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
-  std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
-  if (ow == w && oh == h) {
-    resized = pixels;
-  } else {
-    resize_bilinear(pixels.data(), w, h, resized.data(), ow, oh);
-  }
-  for (int y = 0; y < oh; ++y) {
-    std::memcpy(out_img + static_cast<size_t>(y) * canvas * 3,
-                resized.data() + static_cast<size_t>(y) * ow * 3,
-                static_cast<size_t>(ow) * 3);
-  }
-  *scale = q;
+  pack_whole_image(pixels, w, h, canvas, out_img, scale, nullptr, nullptr);
   *width = static_cast<float>(w);
   *height = static_cast<float>(h);
 }
@@ -169,21 +189,7 @@ void load_region_one(const char* path, int canvas, float cx, float cy,
   *height = static_cast<float>(h);
 
   if (side < 8.0f) {  // degenerate geometry: whole-image fallback
-    const float q = static_cast<float>(canvas) / std::max(w, h);
-    const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
-    const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
-    std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
-    resize_bilinear(pixels.data(), w, h, resized.data(), ow, oh);
-    for (int y = 0; y < oh; ++y)
-      std::memcpy(out_img + static_cast<size_t>(y) * canvas * 3,
-                  resized.data() + static_cast<size_t>(y) * ow * 3,
-                  static_cast<size_t>(ow) * 3);
-    *q_out = q;
-    // resize_bilinear uses half-pixel centers: content sits at
-    // q*x_src + (q-1)/2, and the device warp composes q*(x_src - ox),
-    // so report the compensating source offset (0 when q == 1).
-    *ox_out = (1.0f - q) / (2.0f * q);
-    *oy_out = *ox_out;
+    pack_whole_image(pixels, w, h, canvas, out_img, q_out, ox_out, oy_out);
     return;
   }
 

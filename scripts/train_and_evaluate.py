@@ -39,7 +39,9 @@ def main(argv):
 
     if cfg.common.evaluate_only:
         evaluator = Evaluator(cfg)
-        trainer = Trainer(cfg, verbose=False)   # builds model + state shell
+        # builds model + state shell; eval_only skips the train split
+        # (train annotations need not exist on an eval-only machine)
+        trainer = Trainer(cfg, verbose=False, eval_only=True)
         if cfg.common.resume and os.path.exists(cfg.common.resume):
             payload = ckpt_lib.restore(cfg.common.resume, trainer.state)
             state = payload['state']

@@ -115,6 +115,30 @@ def test_coco_loader(coco_tree):
     assert batch['canvas'].shape == (1, 64, 64, 3)
 
 
+def test_trainer_eval_only_without_train_split(coco_tree):
+    """Trainer(eval_only=True) must not load the TRAIN annotations —
+    an eval-only machine has only the checkpoint and the val split."""
+    img_dir, ann_dir = coco_tree
+    os.remove(os.path.join(ann_dir, 'person_keypoints_train2017.json'))
+    from hourglass_pose_estimation_tpu.config import load_config
+    from hourglass_pose_estimation_tpu.runner import Trainer
+    cfg = load_config(raw={
+        'DATASET': {'name': 'mscoco', 'image_path': img_dir,
+                    'annotation_path': ann_dir, 'inp_res': 64,
+                    'out_res': 16, 'sigma': 1, 'scale_factor': 0.25,
+                    'rot_factor': 30},
+        'MODEL': {'arch': 'hg', 'num_stacks': 1},
+        'TRAIN': {'train_batch': 1, 'val_batch': 1, 'precision': 'f32'},
+    })
+    trainer = Trainer(cfg, verbose=False, eval_only=True)
+    assert trainer.state is not None            # state shell for restore
+    with pytest.raises(RuntimeError, match='eval_only'):
+        trainer.train()
+    # without the flag, the missing train split must still surface
+    with pytest.raises(Exception):
+        Trainer(cfg, verbose=False)
+
+
 def test_xywh_to_center_scale_aspect():
     # wide box: height grows to match aspect 1.0
     c, s = xywh_to_center_scale(0, 0, 200, 100)

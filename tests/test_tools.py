@@ -46,6 +46,10 @@ def test_extract_hands(tmp_path):
     assert len(ann['keypoints']) == 22 * 3
     # first kept left kpt is wrist (index 0)
     assert ann['keypoints'][0:2] == [10.0, 20.0]
+    # the reference selection is irregular ([0,2,4,5,...], extract_
+    # full_coco.py:71): the 4th kept joint must be hand index 5 (x=15),
+    # not index 6 as a uniform every-other stride would give
+    assert ann['keypoints'][3 * 3:3 * 3 + 2] == [15.0, 25.0]
     # loads back through the hands dataset joint count
     from hourglass_pose_estimation_tpu.data.coco_json import load_coco_keypoints
     d = load_coco_keypoints(str(out_path), 22)
@@ -68,7 +72,14 @@ def test_kinect_convert(tmp_path):
     with open(tmp_path / 'out_test.json') as fp:
         test = json.load(fp)
     assert len(train['images']) + len(test['images']) == 20
-    assert len(test['images']) >= 2
+    assert len(test['images']) == 4          # exactly round(20 * 0.2)
+    # --test-frac 0 must put EVERYTHING in train (no forced test image)
+    kinect2_to_coco.convert(str(in_dir), str(tmp_path / 'all'),
+                            test_frac=0.0)
+    with open(tmp_path / 'all_train.json') as fp:
+        assert len(json.load(fp)['images']) == 20
+    with open(tmp_path / 'all_test.json') as fp:
+        assert len(json.load(fp)['images']) == 0
     ann = train['annotations'][0]
     assert len(ann['keypoints']) == 51
     assert ann['bbox'][2] > 0 and ann['bbox'][3] > 0

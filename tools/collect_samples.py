@@ -26,7 +26,7 @@ import shutil
 import sys
 
 
-def iter_names(collections, kind, json_path=''):
+def iter_names(collections, json_path=''):
     if isinstance(collections, dict) and 'images' in collections:
         # standard COCO annotation file: the split comes from the
         # annotation FILENAME (instances_train2017.json vs ..._val...),
@@ -49,7 +49,7 @@ def main(args):
     os.makedirs(args.dest, exist_ok=True)
     n, missing = 0, 0
     seen = set()
-    for name, is_val in iter_names(collections, args.type, args.json):
+    for name, is_val in iter_names(collections, args.json):
         if not name or name in seen:
             continue
         seen.add(name)

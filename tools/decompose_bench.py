@@ -44,12 +44,13 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from bench import build, BATCH, STACKS, RES
-    from hourglass_pose_estimation_tpu.data import Synthetic, make_spec
     from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
     from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
 
     print(f'config: batch={BATCH} stacks={STACKS} res={RES}')
-    step, state, raw, rng, _spec = build()
+    # build() returns the exact spec the full step compiles with — the
+    # phase programs below must decompose THAT program, not a copy
+    step, state, raw, rng, spec = build()
 
     # -- full step --------------------------------------------------
     # the step donates its state: thread it across timed calls
@@ -64,10 +65,6 @@ def main(argv=None):
     state = holder['s']          # original buffers were donated away
 
     # -- augment only -----------------------------------------------
-    ds = Synthetic(True, num_samples=BATCH, inp_res=RES, out_res=RES // 4,
-                   sigma=1, scale_factor=0.25, rot_factor=30)
-    spec = make_spec(ds)
-
     @jax.jit
     def aug(rng, salt):
         rng = jax.random.fold_in(rng, salt)

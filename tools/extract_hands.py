@@ -14,9 +14,11 @@ import argparse
 import json
 import sys
 
-# 21-kpt hand: keep wrist + [tip, middle] of each finger (11 kpts),
-# matching the reference's per-hand selection.
-HAND_KEEP = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20]
+# 21-kpt hand: the reference's exact 11-joint selection
+# (`/root/reference/tools/extract_full_coco.py:71` selected_ids):
+# wrist, thumb MCP+tip, then MCP+tip of index/middle/ring/pinky —
+# NOT a uniform every-other-joint stride.
+HAND_KEEP = [0, 2, 4, 5, 8, 9, 12, 13, 16, 17, 20]
 
 
 def extract(wholebody_path: str, out_path: str, min_vis: int = 6) -> dict:

@@ -89,10 +89,17 @@ def convert(in_dir: str, out_prefix: str, test_frac: float = 0.1,
                 image_id += 1
 
     # deterministic split by image index (reference uses sklearn's
-    # train_test_split; a stride split avoids the dependency)
-    n_test = max(1, int(len(images) * test_frac)) if images else 0
-    stride = max(1, len(images) // max(n_test, 1)) if n_test else len(images) + 1
-    test_ids = {im['id'] for i, im in enumerate(images) if i % stride == 0}
+    # train_test_split; an evenly spaced index split avoids the
+    # dependency). n_test honors the requested fraction exactly
+    # (rounded), including --test-frac 0 -> everything in train.
+    n_test = int(round(len(images) * test_frac)) if images else 0
+    n_test = min(n_test, len(images))
+    if n_test:
+        picks = {int(round(i * len(images) / n_test))
+                 for i in range(n_test)}
+        test_ids = {im['id'] for i, im in enumerate(images) if i in picks}
+    else:
+        test_ids = set()
 
     def subset(ids):
         return {

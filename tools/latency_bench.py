@@ -145,16 +145,17 @@ def main(argv=None):
     }
 
     if args.end_to_end:
-        from hourglass_pose_estimation_tpu.ops.resize import (
-            resize_bilinear_halfpix)
-        mean = jnp.asarray([0.4068, 0.4443, 0.4660], jnp.float32)
-        std = jnp.asarray([0.2289, 0.2326, 0.2365], jnp.float32)
-        size = (args.res, args.res)
-
-        def e2e(frames_u8):
-            y = frames_u8.astype(jnp.float32) / 255.0
-            y = resize_bilinear_halfpix(y, size)
-            return fn((y - mean) / std)
+        # the exact deploy artifact program: preprocess fused via
+        # make_inference_fn (same code path EVAL.export_preprocess
+        # exports) with the canonical dataset statistics — not a
+        # hand-copied preprocess that could drift from the artifact
+        from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
+        e2e = jax.jit(make_inference_fn(
+            model, variables,
+            decode=None if args.decode == 'none' else args.decode,
+            fold_bn=not args.no_fold,
+            weights_dtype=None if args.no_bf16 else jnp.bfloat16,
+            preprocess=get_meanstd('mpii'), input_res=args.res))
 
         fh, fw = args.frame_res
         # camera-resolution frame: the resize must actually run (at
@@ -163,7 +164,7 @@ def main(argv=None):
         frame = np.random.RandomState(0).randint(
             0, 255, (1, fh, fw, 3)).astype(np.uint8)
         reps[f'e2e(H2D {fh}x{fw}+preproc)'] = make_rep(
-            jax.jit(e2e), frame, host_input=True)
+            e2e, frame, host_input=True)
 
     ts = measure_interleaved(reps, args.chain, args.iters)
     name = (f'{args.stacks}-stack{" mobile" if args.mobile else ""} '

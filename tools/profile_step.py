@@ -117,9 +117,8 @@ def main(argv=None):
     import jax.numpy as jnp
     from hourglass_pose_estimation_tpu.models import HourglassNet
 
-    B = int(os.environ.get('BENCH_BATCH', '64'))
-    S = int(os.environ.get('BENCH_STACKS', '8'))
-    R = int(os.environ.get('BENCH_RES', '256'))
+    # the single source of the benchmark config (BENCH_* env parsing)
+    from bench import BATCH as B, STACKS as S, RES as R
 
     if args.infer:
         from hourglass_pose_estimation_tpu.export import make_inference_fn

@@ -24,9 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import numpy as np
 
-BATCH = int(os.environ.get('BENCH_BATCH', '64'))
-STACKS = int(os.environ.get('BENCH_STACKS', '8'))
-RES = int(os.environ.get('BENCH_RES', '256'))
+# the single source of the benchmark config (BENCH_* env parsing)
+from bench import BATCH, STACKS, RES
 
 
 def main(argv=None):
