@@ -1,0 +1,217 @@
+"""Import trained reference (PyTorch) checkpoints into this framework.
+
+Migration surface: a user of the reference project brings `.pth.tar`
+files produced by its Trainer (`/root/reference/src/runner/
+trainer.py:166-181`, payload {epoch, state_dict, optimizer, best_acc},
+state_dict keys optionally 'module.'-prefixed by DataParallel) or bare
+`state_dict`s. This module rewrites that torch parameter naming onto
+this package's flax tree ({'params', 'batch_stats'}) with the layout
+transforms TPU/NHWC requires:
+
+  * conv weights   OIHW -> HWIO (identical for depthwise and grouped
+    convs — both frameworks split channels contiguously per group),
+  * BatchNorm      weight/bias -> scale/bias (params);
+                   running_mean/running_var -> mean/var (batch_stats);
+                   num_batches_tracked is dropped,
+  * torch Sequential indices -> this package's explicit child names
+    (`layer1.0.*` -> `layer1/*`, `hg.3.hg.2.1.0.*` -> `hg3/low1_l3/
+    block0/*`, `fc.0.{0,1}` -> `fc0` + `fc_bn0`, trailing-underscore
+    feedback convs `fc_`/`score_` -> `fc_back`/`score_back`).
+
+Name spec derived from `/root/reference/src/models/hourglass.py:17-43`
+and `modules.py:6-78`; numeric equivalence of the converted tree is
+tested against the reference model itself (tests/test_torch_import.py
+imports it read-only as the oracle). Optimizer accumulators are NOT
+converted (torch RMSprop square_avg has no meaning to a fresh optax
+chain) — an imported checkpoint resumes with reset optimizer state,
+which only matters if fine-tuning.
+
+Only `arch: hg` is importable: the reference's MSPN is untrainable
+end-to-end (its loss wiring crashes, SURVEY §2), so trained MSPN
+checkpoints cannot exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+# reference Hourglass._make_hour_glass child index j -> role
+# (`/root/reference/src/models/modules.py:80-89`: [0]=up1 skip branch,
+# [1]=low1 post-pool, [2]=low3 decoder, [3]=bottleneck extra at level 1)
+_HG_CHILD = {0: 'up1', 1: 'low1', 2: 'low3', 3: 'low2'}
+
+
+class TorchImportError(ValueError):
+    """A state_dict key does not match the reference 'hg' naming."""
+
+
+def _to_numpy(val) -> np.ndarray:
+    if hasattr(val, 'detach'):            # torch tensor, no torch import
+        val = val.detach().cpu().numpy()
+    return np.asarray(val)
+
+
+def _conv(path: Tuple[str, ...], leaf: str):
+    if leaf == 'weight':
+        # torch [O, I/groups, kh, kw] -> flax [kh, kw, I/groups, O]
+        return ('params', path, 'kernel',
+                lambda w: np.transpose(w, (2, 3, 1, 0)))
+    if leaf == 'bias':
+        return ('params', path, 'bias', None)
+    raise TorchImportError(f'unexpected conv leaf {leaf!r} at {path}')
+
+
+def _bn(path: Tuple[str, ...], leaf: str):
+    if leaf == 'weight':
+        return ('params', path, 'scale', None)
+    if leaf == 'bias':
+        return ('params', path, 'bias', None)
+    if leaf == 'running_mean':
+        return ('batch_stats', path, 'mean', None)
+    if leaf == 'running_var':
+        return ('batch_stats', path, 'var', None)
+    if leaf == 'num_batches_tracked':
+        return None
+    raise TorchImportError(f'unexpected BN leaf {leaf!r} at {path}')
+
+
+def _bottleneck(path: Tuple[str, ...], rest):
+    """Children of a reference HGBottleneck (modules.py:9-24)."""
+    if rest[0] == 'downsample':
+        # nn.Sequential of exactly one 1x1 conv (hourglass.py:48-51)
+        if rest[1] != '0':
+            raise TorchImportError(f'unexpected downsample child {rest}')
+        return _conv(path + ('downsample',), rest[2])
+    if rest[0] in ('bn1', 'bn2', 'bn3'):
+        return _bn(path + (rest[0],), rest[1])
+    if rest[0] in ('conv1', 'conv2', 'conv3'):
+        return _conv(path + (rest[0],), rest[1])
+    raise TorchImportError(f'unexpected bottleneck child {rest} at {path}')
+
+
+def _map_key(key: str):
+    """torch state_dict key -> (collection, path, leaf, transform) or
+    None (droppable bookkeeping like num_batches_tracked)."""
+    parts = key.split('.')
+    head = parts[0]
+    try:
+        if head == 'conv1':
+            return _conv(('conv1',), parts[1])
+        if head == 'bn1':
+            return _bn(('bn1',), parts[1])
+        if head in ('layer1', 'layer2', 'layer3'):
+            # stem layers are Sequential(1 block) (hourglass.py:21-23)
+            if parts[1] != '0':
+                raise TorchImportError(
+                    f'stem {head} has unexpected block index {parts[1]}')
+            return _bottleneck((head,), parts[2:])
+        if head == 'hg':
+            i = int(parts[1])
+            if parts[2] == 'concat_conv':    # skip_mode='concat' merge
+                return _conv((f'hg{i}', 'concat_conv'), parts[3])
+            if parts[2] != 'hg':
+                raise TorchImportError(f'unexpected hourglass child {parts[2]}')
+            d, j, b = int(parts[3]), int(parts[4]), int(parts[5])
+            sub = f'{_HG_CHILD[j]}_l{d + 1}'
+            return _bottleneck((f'hg{i}', sub, f'block{b}'), parts[6:])
+        if head == 'res':
+            i, b = int(parts[1]), int(parts[2])
+            return _bottleneck((f'res{i}', f'block{b}'), parts[3:])
+        if head == 'fc':
+            i = int(parts[1])
+            if parts[2] == '0':              # Sequential(conv, bn, relu)
+                return _conv((f'fc{i}',), parts[3])
+            if parts[2] == '1':
+                return _bn((f'fc_bn{i}',), parts[3])
+            raise TorchImportError(f'unexpected fc child {parts[2]}')
+        if head == 'score':
+            return _conv((f'score{int(parts[1])}',), parts[2])
+        if head == 'fc_':
+            return _conv((f'fc_back{int(parts[1])}',), parts[2])
+        if head == 'score_':
+            return _conv((f'score_back{int(parts[1])}',), parts[2])
+    except (IndexError, KeyError) as e:
+        raise TorchImportError(f'cannot map key {key!r}: {e}') from e
+    raise TorchImportError(f'unrecognized state_dict key {key!r} '
+                           "(only the reference 'hg' arch is importable)")
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference 'hg' torch state_dict -> {'params', 'batch_stats'}.
+
+    Accepts torch tensors or numpy arrays; tolerates DataParallel's
+    'module.' key prefix. Every key must map (unknown keys raise
+    TorchImportError — silent drops would corrupt an import).
+    """
+    out = {'params': {}, 'batch_stats': {}}
+    for key, val in state_dict.items():
+        name = key[len('module.'):] if key.startswith('module.') else key
+        mapped = _map_key(name)
+        if mapped is None:
+            continue
+        coll, path, leaf, tf = mapped
+        arr = _to_numpy(val).astype(np.float32)
+        if tf is not None:
+            arr = tf(arr)
+        node = out[coll]
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+    return out
+
+
+def check_tree_matches(variables: Dict[str, Any],
+                       converted: Dict[str, Any]) -> None:
+    """Raise with a full diff if `converted` does not exactly match the
+    structure+shapes of `variables` (a model.init result)."""
+    import jax
+
+    def flat(tree):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(p): tuple(np.shape(v))
+                for p, v in leaves}
+
+    problems = []
+    for coll in ('params', 'batch_stats'):
+        want = flat(variables.get(coll, {}))
+        got = flat(converted.get(coll, {}))
+        for k in sorted(set(want) - set(got)):
+            problems.append(f'missing {coll}{k} {want[k]}')
+        for k in sorted(set(got) - set(want)):
+            problems.append(f'unexpected {coll}{k} {got[k]}')
+        for k in sorted(set(want) & set(got)):
+            if want[k] != got[k]:
+                problems.append(
+                    f'shape mismatch {coll}{k}: model {want[k]} vs '
+                    f'checkpoint {got[k]}')
+    if problems:
+        raise TorchImportError(
+            'converted checkpoint does not match the model '
+            f'({len(problems)} problems):\n  ' + '\n  '.join(problems[:40]))
+
+
+def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference `.pth.tar` -> (variables, meta).
+
+    variables = {'params', 'batch_stats'}; meta = {'epoch', 'best_acc'}
+    (0 / 0.0 when the file is a bare state_dict). Torch is required
+    only to unpickle.
+    """
+    import torch
+
+    try:
+        payload = torch.load(path, map_location='cpu', weights_only=False)
+    except TypeError:   # torch < 1.13: no weights_only kwarg
+        payload = torch.load(path, map_location='cpu')
+
+    meta = {'epoch': 0, 'best_acc': 0.0}
+    if isinstance(payload, dict) and 'state_dict' in payload:
+        meta['epoch'] = int(payload.get('epoch', 0) or 0)
+        best = payload.get('best_acc', 0.0)
+        meta['best_acc'] = float(best) if best is not None else 0.0
+        state_dict = payload['state_dict']
+    else:
+        state_dict = payload
+    return convert_torch_state_dict(state_dict), meta

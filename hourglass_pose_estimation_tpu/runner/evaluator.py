@@ -144,10 +144,11 @@ class Evaluator:
                                        crop_aware=self.crop_aware)
             preds, maxv = forward(state, raw)
             preds, maxv = np.asarray(preds), np.asarray(maxv)
-            for k, (i, v) in enumerate(zip(idx, valid)):
-                if v > 0:
-                    all_preds[i, cols] = preds[k]
-                    all_scores[i, cols] = maxv[k].reshape(len(cols))
+            sel = np.asarray(valid) > 0
+            rows = np.asarray(idx)[sel]
+            all_preds[np.ix_(rows, cols)] = preds[sel]
+            all_scores[np.ix_(rows, cols)] = maxv[sel].reshape(
+                len(rows), len(cols))
         if return_scores:
             return all_preds, all_scores
         return all_preds
