@@ -26,9 +26,11 @@ converted (torch RMSprop square_avg has no meaning to a fresh optax
 chain) — an imported checkpoint resumes with reset optimizer state,
 which only matters if fine-tuning.
 
-Only `arch: hg` is importable: the reference's MSPN is untrainable
-end-to-end (its loss wiring crashes, SURVEY §2), so trained MSPN
-checkpoints cannot exist.
+Both reference archs are importable: 'hg' and 'mspn' (the latter spec:
+`/root/reference/src/models/mspn.py:8-297`; although the reference's
+MSPN cannot be trained through ITS Trainer — SURVEY §2 — state_dicts
+from upstream MSPN forks share the naming). Arch is auto-detected from
+the key namespace (`top.`/`mspn_modules.` vs `hg.`/`layer1.`).
 """
 
 from __future__ import annotations
@@ -135,20 +137,99 @@ def _map_key(key: str):
     except (IndexError, KeyError) as e:
         raise TorchImportError(f'cannot map key {key!r}: {e}') from e
     raise TorchImportError(f'unrecognized state_dict key {key!r} '
-                           "(only the reference 'hg' arch is importable)")
+                           "for the reference 'hg' naming")
 
 
-def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """Reference 'hg' torch state_dict -> {'params', 'batch_stats'}.
+# reference MSPN ConvBNReLu child -> this package's ConvBN child names
+_MSPN_CBR = {'conv_bn_relu1': 'cbr1', 'conv_bn_relu2': 'cbr2',
+             'conv_bn_relu3': 'cbr3', 'downsample': 'downsample'}
+_MSPN_UNIT_CHILDREN = ('u_skip', 'up_conv', 'skip1', 'skip2',
+                       'cross_conv', 'res_conv1', 'res_conv2')
+
+
+def _conv_bn(path: Tuple[str, ...], rest):
+    """Children of a reference ConvBNReLu (mspn.py:8-27); this package's
+    ConvBN keeps the same child names ('conv', 'bn')."""
+    if rest[0] == 'conv':
+        return _conv(path + ('conv',), rest[1])
+    if rest[0] == 'bn':
+        return _bn(path + ('bn',), rest[1])
+    raise TorchImportError(f'unexpected ConvBNReLu child {rest} at {path}')
+
+
+def _map_mspn_key(key: str):
+    """Reference MSPN state_dict key -> flax path (models/mspn.py here).
+
+    Naming spec: `/root/reference/src/models/mspn.py` — InputLayer
+    `top.conv` (:59-69), stages `mspn_modules.{i}` (:285), trunk
+    `downsample.layer{L}.{b}.{conv_bn_relu1..3,downsample}` (:79-110),
+    decoder `upsample.up{1..4}.{u_skip,up_conv,skip1,skip2,cross_conv,
+    res_conv1,res_conv2}` (:134-216).
+    """
+    parts = key.split('.')
+    try:
+        if parts[0] == 'top':
+            if parts[1] != 'conv':
+                raise TorchImportError(f'unexpected InputLayer child {parts[1]}')
+            return _conv_bn(('top',), parts[2:])
+        if parts[0] == 'criterion':     # embedded MSELoss: no params
+            return None
+        if parts[0] == 'mspn_modules':
+            i = int(parts[1])
+            if parts[2] == 'downsample':
+                layer, b = parts[3], int(parts[4])
+                if layer not in ('layer1', 'layer2', 'layer3', 'layer4'):
+                    raise TorchImportError(f'unexpected trunk layer {layer}')
+                child = _MSPN_CBR[parts[5]]
+                return _conv_bn(
+                    (f'stage{i}', 'downsample', f'{layer}_block{b}', child),
+                    parts[6:])
+            if parts[2] == 'upsample':
+                unit, child = parts[3], parts[4]
+                if unit not in ('up1', 'up2', 'up3', 'up4'):
+                    raise TorchImportError(f'unexpected decoder unit {unit}')
+                if child not in _MSPN_UNIT_CHILDREN:
+                    raise TorchImportError(f'unexpected unit child {child}')
+                return _conv_bn((f'stage{i}', unit, child), parts[5:])
+            raise TorchImportError(f'unexpected stage child {parts[2]}')
+    except (IndexError, KeyError) as e:
+        raise TorchImportError(f'cannot map key {key!r}: {e}') from e
+    raise TorchImportError(f'unrecognized state_dict key {key!r} '
+                           "for the reference 'mspn' naming")
+
+
+def detect_arch(state_dict: Dict[str, Any]) -> str:
+    for key in state_dict:
+        head = (key[len('module.'):] if key.startswith('module.')
+                else key).split('.')[0]
+        if head in ('top', 'mspn_modules', 'criterion'):
+            return 'mspn'
+        if head in ('conv1', 'bn1', 'layer1', 'layer2', 'layer3', 'hg',
+                    'res', 'fc', 'score', 'fc_', 'score_'):
+            return 'hg'
+    raise TorchImportError(
+        'cannot detect arch: no recognizable reference key namespace in '
+        f'{list(state_dict)[:5]}...')
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any],
+                             arch: str = 'auto') -> Dict[str, Any]:
+    """Reference torch state_dict -> {'params', 'batch_stats'}.
 
     Accepts torch tensors or numpy arrays; tolerates DataParallel's
-    'module.' key prefix. Every key must map (unknown keys raise
-    TorchImportError — silent drops would corrupt an import).
+    'module.' key prefix; arch ('hg' | 'mspn') is auto-detected by
+    default. Every key must map (unknown keys raise TorchImportError —
+    silent drops would corrupt an import).
     """
+    if arch == 'auto':
+        arch = detect_arch(state_dict)
+    if arch not in ('hg', 'mspn'):
+        raise TorchImportError(f'unknown arch {arch!r}')
+    mapper = _map_mspn_key if arch == 'mspn' else _map_key
     out = {'params': {}, 'batch_stats': {}}
     for key, val in state_dict.items():
         name = key[len('module.'):] if key.startswith('module.') else key
-        mapped = _map_key(name)
+        mapped = mapper(name)
         if mapped is None:
             continue
         coll, path, leaf, tf = mapped

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 from hourglass_pose_estimation_tpu.interop import (
     TorchImportError, check_tree_matches, convert_torch_state_dict,
-    load_torch_checkpoint)
-from hourglass_pose_estimation_tpu.models import HourglassNet
+    detect_arch, load_torch_checkpoint)
+from hourglass_pose_estimation_tpu.models import HourglassNet, MSPN
 
 torch = pytest.importorskip('torch')
 
@@ -93,8 +93,45 @@ def test_architecture_mismatch_raises():
 
 
 def test_unknown_key_raises():
-    with pytest.raises(TorchImportError, match='unrecognized'):
+    with pytest.raises(TorchImportError, match='cannot detect arch'):
         convert_torch_state_dict({'stage0.conv.weight': np.zeros((1, 1, 1, 1))})
+    with pytest.raises(TorchImportError, match='unrecognized'):
+        convert_torch_state_dict({'conv1.weight': np.zeros((64, 3, 7, 7)),
+                                  'blah.weight': np.zeros((1,))})
+
+
+def test_converted_mspn_forward_matches_reference():
+    """2 stages exercise every cross-stage path (has_skip adds,
+    gen_skip/gen_cross_conv decoders) — the first full-network numeric
+    parity check for MSPN."""
+    if not os.path.isdir(os.path.join(REFERENCE, 'src')):
+        pytest.skip('reference checkout not available')
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from src.models.mspn import mspn as torch_mspn
+    # reference factory quirk: num_blocks IS up_channel_num (mspn.py:310)
+    tmodel = torch_mspn(num_stacks=2, num_classes=16, out_res=16,
+                        mobile=False, num_blocks=64)
+    assert detect_arch(tmodel.state_dict()) == 'mspn'
+    _randomize_(tmodel, seed=2)
+    tmodel.eval()
+
+    x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        outs = tmodel(x)                      # list (stage) of list (res)
+    ref = np.stack([o.numpy() for stage in outs for o in stage])
+    ref = ref.transpose(0, 1, 3, 4, 2)        # [S*4,B,h,w,J]
+
+    variables = convert_torch_state_dict(tmodel.state_dict())
+    model = MSPN(num_stacks=2, num_classes=16, out_res=16,
+                 up_channel_num=64, dtype=jnp.float32)
+    check_tree_matches(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False), variables)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
 def test_load_torch_checkpoint_wrapper_and_prefix(tmp_path):

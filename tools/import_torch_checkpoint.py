@@ -45,11 +45,6 @@ def main(argv=None):
 
     cfg = load_config(args.config, overrides=args.overrides)
     mc, tc = cfg.model, cfg.train
-    if mc.arch != 'hg':
-        raise SystemExit(
-            f"only 'hg' checkpoints are importable (got arch={mc.arch!r}); "
-            "the reference's MSPN cannot produce trained checkpoints "
-            '(SURVEY.md §2: its loss wiring is broken)')
     num_classes = (mc.num_classes
                    or (len(mc.subset) if mc.subset else 0)
                    or n_joints_for(cfg.dataset.name))
@@ -58,7 +53,8 @@ def main(argv=None):
 
     model = get_model(mc.arch, num_stacks=mc.num_stacks,
                       num_blocks=mc.num_blocks, num_classes=num_classes,
-                      mobile=mc.mobile, skip_mode=mc.skip_mode)
+                      mobile=mc.mobile, skip_mode=mc.skip_mode,
+                      out_res=cfg.dataset.out_res)
     # template for structure validation + optimizer-state layout
     tx = make_optimizer(tc.learning_rate, tc.schedule, tc.gamma,
                         steps_per_epoch=1)
@@ -74,7 +70,7 @@ def main(argv=None):
                     best_acc=meta['best_acc'])
     n = sum(int(x.size) for x in jax.tree.leaves(variables['params']))
     print(f'imported {args.torch_checkpoint} -> {out}\n'
-          f'  arch=hg stacks={mc.num_stacks} mobile={mc.mobile} '
+          f'  arch={mc.arch} stacks={mc.num_stacks} mobile={mc.mobile} '
           f'skip={mc.skip_mode} joints={num_classes} params={n:,}\n'
           f'  epoch={meta["epoch"]} best_acc={meta["best_acc"]:.4f} '
           '(optimizer accumulators reset)')
