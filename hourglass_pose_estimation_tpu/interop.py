@@ -273,6 +273,116 @@ def check_tree_matches(variables: Dict[str, Any],
             f'({len(problems)} problems):\n  ' + '\n  '.join(problems[:40]))
 
 
+_INV_HG_CHILD = {v: k for k, v in _HG_CHILD.items()}   # up1 -> 0, ...
+_INV_MSPN_CBR = {v: k for k, v in _MSPN_CBR.items()}
+
+
+def _torch_prefix_hg(path: Tuple[str, ...]) -> str:
+    """flax param path (module names only) -> torch key prefix, hg."""
+    import re
+
+    def bneck_child(rest):
+        # ('bn1',)/('conv2',)/('downsample',) within a bottleneck
+        return 'downsample.0' if rest[0] == 'downsample' else rest[0]
+
+    head = path[0]
+    if head in ('conv1', 'bn1') and len(path) == 1:
+        return head
+    if head in ('layer1', 'layer2', 'layer3'):
+        return f'{head}.0.{bneck_child(path[1:])}'
+    m = re.fullmatch(r'(hg|res|fc_bn|fc_back|score_back|fc|score)(\d+)', head)
+    if not m:
+        raise TorchImportError(f'cannot invert hg path {path}')
+    kind, i = m.group(1), int(m.group(2))
+    if kind == 'hg':
+        if path[1] == 'concat_conv':
+            return f'hg.{i}.concat_conv'
+        lm = re.fullmatch(r'(up1|low1|low2|low3)_l(\d+)', path[1])
+        bm = re.fullmatch(r'block(\d+)', path[2])
+        if not (lm and bm):
+            raise TorchImportError(f'cannot invert hg path {path}')
+        j, n, b = _INV_HG_CHILD[lm.group(1)], int(lm.group(2)), int(bm.group(1))
+        return f'hg.{i}.hg.{n - 1}.{j}.{b}.{bneck_child(path[3:])}'
+    if kind == 'res':
+        b = int(path[1][len('block'):])
+        return f'res.{i}.{b}.{bneck_child(path[2:])}'
+    return {'fc': f'fc.{i}.0', 'fc_bn': f'fc.{i}.1', 'score': f'score.{i}',
+            'fc_back': f'fc_.{i}', 'score_back': f'score_.{i}'}[kind]
+
+
+def _torch_prefix_mspn(path: Tuple[str, ...]) -> str:
+    """flax param path (module names only) -> torch key prefix, mspn.
+    The trailing 'conv'/'bn' ConvBN child is part of the prefix."""
+    import re
+
+    if path[0] == 'top':
+        return f'top.conv.{path[1]}'
+    m = re.fullmatch(r'stage(\d+)', path[0])
+    if not m:
+        raise TorchImportError(f'cannot invert mspn path {path}')
+    i = int(m.group(1))
+    if path[1] == 'downsample':
+        lm = re.fullmatch(r'(layer\d)_block(\d+)', path[2])
+        if not lm:
+            raise TorchImportError(f'cannot invert mspn path {path}')
+        child = _INV_MSPN_CBR[path[3]]
+        return (f'mspn_modules.{i}.downsample.{lm.group(1)}.'
+                f'{int(lm.group(2))}.{child}.{path[4]}')
+    if path[1] in ('up1', 'up2', 'up3', 'up4'):
+        return (f'mspn_modules.{i}.upsample.{path[1]}.{path[2]}.{path[3]}')
+    raise TorchImportError(f'cannot invert mspn path {path}')
+
+
+def export_torch_state_dict(variables: Dict[str, Any],
+                            arch: str = 'auto') -> Dict[str, np.ndarray]:
+    """{'params', 'batch_stats'} -> reference-named torch state_dict
+    (numpy values; wrap with torch.from_numpy to load_state_dict).
+
+    The exact inverse of `convert_torch_state_dict`: conv kernels
+    transpose HWIO -> OIHW, BN scale/bias -> weight/bias, running
+    statistics restored, and a zero `num_batches_tracked` synthesized
+    per BN so the result loads with `strict=True` into the reference
+    model — the round-trip back to its ONNX/OpenVINO deploy path.
+    """
+    import jax
+
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    if arch == 'auto':
+        arch = 'mspn' if 'top' in params else 'hg'
+    if arch not in ('hg', 'mspn'):
+        raise TorchImportError(f'unknown arch {arch!r}')
+    prefix_of = _torch_prefix_mspn if arch == 'mspn' else _torch_prefix_hg
+
+    out: Dict[str, np.ndarray] = {}
+    bn_prefixes = set()
+    leaf_map = {
+        ('params', 'kernel'): 'weight',
+        ('params', 'bias'): 'bias',
+        ('params', 'scale'): 'weight',
+        ('batch_stats', 'mean'): 'running_mean',
+        ('batch_stats', 'var'): 'running_var',
+    }
+    for coll, tree in (('params', params), ('batch_stats', stats)):
+        for kpath, arr in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = tuple(getattr(k, 'key', str(k)) for k in kpath)
+            path, leaf = names[:-1], names[-1]
+            prefix = prefix_of(path)
+            arr = np.asarray(arr, dtype=np.float32)
+            if leaf == 'kernel':
+                arr = np.transpose(arr, (3, 2, 0, 1))   # HWIO -> OIHW
+            try:
+                out[f'{prefix}.{leaf_map[(coll, leaf)]}'] = arr
+            except KeyError:
+                raise TorchImportError(
+                    f'unexpected {coll} leaf {leaf!r} at {path}') from None
+            if coll == 'batch_stats' or leaf == 'scale':
+                bn_prefixes.add(prefix)
+    for p in sorted(bn_prefixes):
+        out[f'{p}.num_batches_tracked'] = np.asarray(0, np.int64)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load a reference `.pth.tar` -> (variables, meta).
 

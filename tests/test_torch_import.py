@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from hourglass_pose_estimation_tpu.interop import (
     TorchImportError, check_tree_matches, convert_torch_state_dict,
-    detect_arch, load_torch_checkpoint)
+    detect_arch, export_torch_state_dict, load_torch_checkpoint)
 from hourglass_pose_estimation_tpu.models import HourglassNet, MSPN
 
 torch = pytest.importorskip('torch')
@@ -128,6 +128,73 @@ def test_converted_mspn_forward_matches_reference():
     check_tree_matches(
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                    train=False), variables)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize('arch,kwargs', [
+    ('hg', dict(num_stacks=2, mobile=False, skip_mode='sum')),
+    ('hg', dict(num_stacks=1, mobile=True, skip_mode='concat')),
+    ('mspn', dict(num_stacks=2)),
+])
+def test_export_round_trips_bit_exact(arch, kwargs):
+    """convert -> export is the identity on the torch state_dict (keys,
+    shapes, values), and the result loads strict=True."""
+    if arch == 'mspn':
+        if not os.path.isdir(os.path.join(REFERENCE, 'src')):
+            pytest.skip('reference checkout not available')
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        from src.models.mspn import mspn as torch_mspn
+        tmodel = torch_mspn(num_classes=16, out_res=16, mobile=False,
+                            num_blocks=64, **kwargs)
+    else:
+        tmodel = _reference_hg(**kwargs)
+    _randomize_(tmodel, seed=4)
+
+    sd = tmodel.state_dict()
+    back = export_torch_state_dict(convert_torch_state_dict(sd))
+    assert set(back) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy(), err_msg=k)
+    # and torch accepts it wholesale (asarray keeps 0-d entries 0-d)
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v, order='C'))
+         for k, v in back.items()}, strict=True)
+
+
+def test_export_cli_produces_reference_loadable_pth(tmp_path):
+    """Orbax checkpoint (fresh flax init) -> .pth.tar -> reference model
+    load_state_dict(strict=True) -> forward parity with the flax model."""
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    import orbax.checkpoint as ocp
+    ckpt = tmp_path / 'orbax'
+    ocp.PyTreeCheckpointer().save(
+        str(ckpt), {'params': variables['params'],
+                    'batch_stats': variables['batch_stats'],
+                    'epoch': np.int64(4), 'best_acc': np.float64(0.75)})
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import export_torch_checkpoint
+    out = tmp_path / 'exported.pth.tar'
+    assert export_torch_checkpoint.main([str(ckpt), str(out)]) == 0
+
+    payload = torch.load(str(out), map_location='cpu', weights_only=False)
+    assert payload['epoch'] == 4 and payload['best_acc'] == 0.75
+    # 0-d entries must stay 0-d (torch's own num_batches_tracked shape)
+    assert payload['state_dict']['bn1.num_batches_tracked'].shape == ()
+    tmodel = _reference_hg(1, False, 'sum')
+    tmodel.load_state_dict(payload['state_dict'], strict=True)
+    tmodel.eval()
+
+    x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        ref = np.stack([o.numpy() for o in tmodel(x)]).transpose(0, 1, 3, 4, 2)
     got = np.asarray(model.apply(
         variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
         train=False))
