@@ -18,3 +18,13 @@ def n_joints_for(name: str) -> int:
     if name not in REGISTRY:
         raise KeyError(name)
     return REGISTRY[name].n_joints
+
+
+def resolve_num_classes(cfg) -> int:
+    """Joint-count resolution shared by the Trainer and the checkpoint
+    importer: explicit MODEL.num_classes, else len(MODEL.subset), else
+    the dataset's joint count (the reference CLI's derivation,
+    `/root/reference/scripts/train_and_evaluate.py:17-18`)."""
+    mc = cfg.model
+    return (mc.num_classes or (len(mc.subset) if mc.subset else 0)
+            or n_joints_for(cfg.dataset.name))

@@ -23,8 +23,11 @@ and `modules.py:6-78`; numeric equivalence of the converted tree is
 tested against the reference model itself (tests/test_torch_import.py
 imports it read-only as the oracle). Optimizer accumulators are NOT
 converted (torch RMSprop square_avg has no meaning to a fresh optax
-chain) — an imported checkpoint resumes with reset optimizer state,
-which only matters if fine-tuning.
+chain) — an imported checkpoint resumes with reset RMSprop state. The
+Trainer detects the missing optimizer history on resume (epoch > 0
+with step == 0) and fast-forwards the LR-schedule position so
+fine-tuning does NOT restart at the undecayed base rate
+(runner/trainer.py::_fast_forward_schedule).
 
 Both reference archs are importable: 'hg' and 'mspn' (the latter spec:
 `/root/reference/src/models/mspn.py:8-297`; although the reference's
@@ -134,7 +137,9 @@ def _map_key(key: str):
             return _conv((f'fc_back{int(parts[1])}',), parts[2])
         if head == 'score_':
             return _conv((f'score_back{int(parts[1])}',), parts[2])
-    except (IndexError, KeyError) as e:
+    except TorchImportError:
+        raise
+    except (IndexError, KeyError, ValueError) as e:
         raise TorchImportError(f'cannot map key {key!r}: {e}') from e
     raise TorchImportError(f'unrecognized state_dict key {key!r} '
                            "for the reference 'hg' naming")
@@ -192,7 +197,9 @@ def _map_mspn_key(key: str):
                     raise TorchImportError(f'unexpected unit child {child}')
                 return _conv_bn((f'stage{i}', unit, child), parts[5:])
             raise TorchImportError(f'unexpected stage child {parts[2]}')
-    except (IndexError, KeyError) as e:
+    except TorchImportError:
+        raise
+    except (IndexError, KeyError, ValueError) as e:
         raise TorchImportError(f'cannot map key {key!r}: {e}') from e
     raise TorchImportError(f'unrecognized state_dict key {key!r} '
                            "for the reference 'mspn' naming")

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from hourglass_pose_estimation_tpu.config import Config
 from hourglass_pose_estimation_tpu.data import (
-    get_dataset, Loader, make_spec, n_joints_for)
+    get_dataset, Loader, make_spec, resolve_num_classes)
 from hourglass_pose_estimation_tpu.models import get_model
 from hourglass_pose_estimation_tpu.parallel import (
     make_mesh, batch_sharding, replicated_sharding)
@@ -52,9 +52,7 @@ class Trainer:
         self.eval_only = eval_only
         mc, dc, tc = cfg.model, cfg.dataset, cfg.train
 
-        self.num_classes = (num_classes or mc.num_classes
-                            or (len(mc.subset) if mc.subset else 0)
-                            or n_joints_for(dc.name))
+        self.num_classes = num_classes or resolve_num_classes(cfg)
         dtype = jnp.bfloat16 if tc.precision == 'bf16' else jnp.float32
         # explicit shard_map path with sync_bn: the model's train-mode BN
         # syncs its batch statistics over the 'data' axis IN the forward
@@ -292,6 +290,57 @@ class Trainer:
         self.best_acc = float(payload['best_acc'])
         if self.verbose:
             print(f"=> resumed from '{path}' at epoch {self.start_epoch}")
+        self._fast_forward_schedule()
+
+    def _fast_forward_schedule(self):
+        """Reconcile the LR-schedule position with the resumed epoch.
+
+        Two resume paths arrive with a fresh optimizer whose schedule
+        count restarted at 0: an import from a reference `.pth.tar`
+        (tools/import_torch_checkpoint.py — epoch > 0 with step == 0)
+        and a layout-mismatch restore (runner/checkpoint.py falls back
+        to a fresh opt_state but keeps step). Left alone, the optax
+        piecewise-constant LR schedule would resume at the UNDECAYED
+        base rate — e.g. 100x too hot when fine-tuning a checkpoint
+        saved past its decay epochs. Restore the invariant
+        `schedule count == step` (deriving step from
+        epoch * steps_per_epoch when the checkpoint carries none).
+        Genuine Trainer snapshots already satisfy it — no-op.
+        """
+        import optax.tree_utils as otu
+
+        step = int(self.state.step)
+        if step == 0 and self.start_epoch > 0:
+            step = self.start_epoch * self.steps_per_epoch
+        if step == 0:
+            return
+        cnt = jnp.asarray(step, jnp.int32)
+
+        def ff(opt_state):
+            try:
+                if int(otu.tree_get(opt_state, 'count')) == step:
+                    return opt_state
+                return otu.tree_set(opt_state, count=cnt)
+            except (KeyError, ValueError, TypeError):
+                return opt_state       # no schedule count in this layout
+
+        if self.pp == 1:
+            opt = ff(self.state.opt_state)
+            if opt is self.state.opt_state and int(self.state.step) == step:
+                return
+            self.state = self._place_state(self.state.replace(
+                step=cnt, opt_state=opt))
+        else:
+            stem = ff(self.state.opt_stem)
+            stack = ff(self.state.opt_stack)
+            if (stem is self.state.opt_stem and stack is self.state.opt_stack
+                    and int(self.state.step) == step):
+                return
+            self.state = self._place_state(self.state.replace(
+                step=cnt, opt_stem=stem, opt_stack=stack))
+        self._log('=> checkpoint carried no optimizer history: '
+                  f'fast-forwarded the LR schedule to step {step} '
+                  f'(epoch {self.start_epoch})')
 
     def _log(self, msg):
         if self.verbose:

@@ -27,11 +27,9 @@ def main(argv):
     from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
     from hourglass_pose_estimation_tpu.export import (
         export_stablehlo, export_savedmodel)
-    from hourglass_pose_estimation_tpu.data import n_joints_for
+    from hourglass_pose_estimation_tpu.data import resolve_num_classes
 
-    num_classes = (cfg.model.num_classes
-                   or (len(cfg.model.subset) if cfg.model.subset else 0)
-                   or n_joints_for(cfg.dataset.name))
+    num_classes = resolve_num_classes(cfg)
     model = get_model(cfg.model.arch, num_stacks=cfg.model.num_stacks,
                       num_blocks=cfg.model.num_blocks,
                       num_classes=num_classes, mobile=cfg.model.mobile,

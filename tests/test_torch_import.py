@@ -201,6 +201,41 @@ def test_export_cli_produces_reference_loadable_pth(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_resume_imported_checkpoint_fast_forwards_lr_schedule(tmp_path):
+    """An imported checkpoint has epoch > 0 but no optimizer history
+    (step 0, fresh opt_state). Resuming must fast-forward the optax
+    schedule count, or fine-tuning would run at the undecayed base LR
+    (e.g. 100x too hot past the decay epochs)."""
+    import optax.tree_utils as otu
+    from hourglass_pose_estimation_tpu.config import load_config
+    from hourglass_pose_estimation_tpu.runner import checkpoint
+    from hourglass_pose_estimation_tpu.runner.trainer import Trainer
+    from hourglass_pose_estimation_tpu.runner.train_state import (
+        make_optimizer, init_state)
+
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    tx = make_optimizer(2.5e-3, [2, 4], 0.1, steps_per_epoch=1)
+    state = init_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+    ck = tmp_path / 'imported'
+    checkpoint.save(str(ck), state, epoch=3, best_acc=0.0)
+
+    cfg = load_config(raw={
+        'DATASET': {'name': 'synthetic', 'inp_res': 64, 'out_res': 16,
+                    'num_samples': 16},
+        'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_blocks': 1},
+        'TRAIN': {'train_batch': 8, 'val_batch': 8, 'epochs': 5,
+                  'schedule': [2, 4]},
+        'COMMON': {'resume': str(ck),
+                   'checkpoint_dir': str(tmp_path / 'out')},
+    })
+    tr = Trainer(cfg, verbose=False)
+    expected = 3 * tr.steps_per_epoch
+    assert expected > 0
+    assert int(tr.state.step) == expected
+    assert int(otu.tree_get(tr.state.opt_state, 'count')) == expected
+
+
 def test_load_torch_checkpoint_wrapper_and_prefix(tmp_path):
     """Reference Trainer payload shape: {'epoch', 'state_dict'
     (DataParallel 'module.'-prefixed), 'optimizer', 'best_acc'}."""

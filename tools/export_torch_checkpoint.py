@@ -29,11 +29,23 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import torch
+    import jax
     import orbax.checkpoint as ocp
     from hourglass_pose_estimation_tpu.interop import export_torch_state_dict
 
-    payload = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(args.checkpoint_dir))
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(args.checkpoint_dir)
+    try:
+        # partial restore: skip the opt_state (params-sized, unused here)
+        meta = ckptr.metadata(path)
+        item = {k: jax.tree.map(lambda m: np.zeros(m.shape, m.dtype),
+                                meta[k])
+                for k in ('params', 'batch_stats', 'epoch', 'best_acc')
+                if k in meta}
+        payload = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item=item, partial_restore=True))
+    except Exception:       # metadata layout surprises: full restore
+        payload = ckptr.restore(path)
     variables = {'params': payload['params'],
                  'batch_stats': payload.get('batch_stats', {})}
     # np.asarray(order='C') (NOT ascontiguousarray, which promotes the

@@ -35,7 +35,7 @@ def main(argv=None):
 
     import jax
     from hourglass_pose_estimation_tpu.config import load_config
-    from hourglass_pose_estimation_tpu.data import n_joints_for
+    from hourglass_pose_estimation_tpu.data import resolve_num_classes
     from hourglass_pose_estimation_tpu.interop import (
         load_torch_checkpoint, check_tree_matches)
     from hourglass_pose_estimation_tpu.models import get_model
@@ -45,9 +45,7 @@ def main(argv=None):
 
     cfg = load_config(args.config, overrides=args.overrides)
     mc, tc = cfg.model, cfg.train
-    num_classes = (mc.num_classes
-                   or (len(mc.subset) if mc.subset else 0)
-                   or n_joints_for(cfg.dataset.name))
+    num_classes = resolve_num_classes(cfg)
 
     variables, meta = load_torch_checkpoint(args.torch_checkpoint)
 
