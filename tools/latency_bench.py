@@ -105,6 +105,9 @@ def main(argv=None):
     p.add_argument('--stacks', type=int, default=8)
     p.add_argument('--mobile', action='store_true')
     p.add_argument('--res', type=int, default=256)
+    p.add_argument('--batch', type=int, default=1,
+                   help='>1: batched serving throughput (img/s) instead '
+                        'of single-frame latency')
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--chain', type=int, default=25)
     p.add_argument('--decode', default='quarter',
@@ -126,7 +129,7 @@ def main(argv=None):
                          num_classes=16, mobile=args.mobile,
                          skip_mode='sum', dtype=jnp.bfloat16,
                          out_dtype=jnp.float32)
-    x = jnp.zeros((1, args.res, args.res, 3), jnp.float32)
+    x = jnp.zeros((args.batch, args.res, args.res, 3), jnp.float32)
     # params/stats are resolution-independent: init at 64^2 to avoid
     # compiling a second full-res forward program just for init
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -162,7 +165,7 @@ def main(argv=None):
         # (res, res) it would early-return identity) and the H2D bytes
         # must match a real deploy's per-frame volume
         frame = np.random.RandomState(0).randint(
-            0, 255, (1, fh, fw, 3)).astype(np.uint8)
+            0, 255, (args.batch, fh, fw, 3)).astype(np.uint8)
         reps[f'e2e(H2D {fh}x{fw}+preproc)'] = make_rep(
             e2e, frame, host_input=True)
 
@@ -176,6 +179,10 @@ def main(argv=None):
         if key == 'floor':
             continue
         report(f'{name} [{key}]', ts[key], ts['floor'])
+        if args.batch > 1:
+            med = float(np.median(ts[key]))
+            print(f'  batched serving throughput @B={args.batch}: '
+                  f'{args.batch / med * 1000.0:.0f} img/s')
     return 0
 
 
