@@ -129,10 +129,17 @@ class EvalConfig:
     # bake /255 -> resize -> mean/std normalize into the artifact: the
     # exported function then consumes RAW uint8 frames (camera bytes)
     export_preprocess: bool = False
+    # static batch of the exported program (a serving front-end pads
+    # partial batches to this — tools/serve_http.py); bf16 conv kernels
+    # halve weight HBM traffic (keypoints stay ~1e-2 px of f32, tested)
+    export_batch: int = 1
+    export_bf16_weights: bool = False
 
     def __post_init__(self):
         if self.decode not in ('quarter', 'dark'):
             raise ValueError("decode must be 'quarter' or 'dark'")
+        if self.export_batch < 1:
+            raise ValueError('export_batch must be >= 1')
 
 
 @dataclass(frozen=True)

@@ -133,17 +133,20 @@ def export_stablehlo(model, variables, input_shape: Tuple[int, ...],
                      path: str, decode: Optional[str] = None,
                      fold_bn: bool = False,
                      preprocess: Optional[Tuple] = None,
-                     input_res: Optional[int] = None) -> str:
+                     input_res: Optional[int] = None,
+                     weights_dtype=None) -> str:
     """Serialize to StableHLO bytes at `path` (.bin). Returns the path.
 
     With `decode` set, the artifact maps frames -> keypoints (decode
     fused on device); `fold_bn` bakes folded batch-norm constants in.
     With `preprocess=(mean, std)` + `input_res`, `input_shape` is the
     RAW uint8 frame shape and the /255 -> resize -> normalize
-    preprocessing is baked into the artifact.
+    preprocessing is baked into the artifact. `weights_dtype`
+    (e.g. jnp.bfloat16) bakes cast conv kernels in.
     """
     fn = make_inference_fn(model, variables, decode=decode, fold_bn=fold_bn,
-                           preprocess=preprocess, input_res=input_res)
+                           preprocess=preprocess, input_res=input_res,
+                           weights_dtype=weights_dtype)
     in_dtype = jnp.uint8 if preprocess is not None else jnp.float32
     exported = jax.export.export(jax.jit(fn))(
         jax.ShapeDtypeStruct(input_shape, in_dtype))

@@ -42,7 +42,8 @@ def main(argv):
     variables = {'params': params, 'batch_stats': batch_stats}
 
     out_dir = os.path.join(cfg.common.checkpoint_dir, 'export')
-    shape = (1, cfg.dataset.inp_res, cfg.dataset.inp_res, 3)
+    shape = (cfg.eval.export_batch,
+             cfg.dataset.inp_res, cfg.dataset.inp_res, 3)
     decode = cfg.eval.decode if cfg.eval.export_keypoints else None
     preprocess = None
     if cfg.eval.export_preprocess:
@@ -50,14 +51,19 @@ def main(argv):
         # normalize run on device (EVAL.export_preprocess)
         from hourglass_pose_estimation_tpu.data.meanstd import get_meanstd
         preprocess = get_meanstd(cfg.dataset.name)
+    wdtype = jnp.bfloat16 if cfg.eval.export_bf16_weights else None
     p1 = export_stablehlo(model, variables, shape,
                           os.path.join(out_dir, 'model.stablehlo'),
                           decode=decode, fold_bn=cfg.eval.export_fold_bn,
                           preprocess=preprocess,
-                          input_res=cfg.dataset.inp_res)
+                          input_res=cfg.dataset.inp_res,
+                          weights_dtype=wdtype)
     print(f'wrote {p1}'
           + (f' (fused {decode} decode)' if decode else '')
-          + (' (uint8 in, fused preprocess)' if preprocess else ''))
+          + (' (uint8 in, fused preprocess)' if preprocess else '')
+          + (f' (batch {cfg.eval.export_batch})'
+             if cfg.eval.export_batch != 1 else '')
+          + (' (bf16 weights)' if wdtype is not None else ''))
     p2 = export_savedmodel(model, variables, shape,
                            os.path.join(out_dir, 'savedmodel'))
     print(f'wrote {p2}' if p2 else 'tensorflow unavailable; SavedModel skipped')

@@ -48,9 +48,10 @@ def main(argv=None):
         payload = ckptr.restore(path)
     variables = {'params': payload['params'],
                  'batch_stats': payload.get('batch_stats', {})}
-    # np.asarray(order='C') (NOT ascontiguousarray, which promotes the
-    # 0-d num_batches_tracked to 1-d) keeps every entry's exact shape
-    sd = {k: torch.from_numpy(np.asarray(v, order='C'))
+    # np.array copy (NOT ascontiguousarray, which promotes the 0-d
+    # num_batches_tracked to 1-d) keeps every entry's exact shape and
+    # hands torch a writable buffer (jax arrays export read-only views)
+    sd = {k: torch.from_numpy(np.array(v, order='C'))
           for k, v in export_torch_state_dict(variables).items()}
     epoch = int(payload.get('epoch', 0) or 0)
     best = float(payload.get('best_acc', 0.0) or 0.0)
