@@ -201,6 +201,53 @@ def test_estimate_script_cli(tmp_path):
         assert out is not None and out.shape == (120, 160, 3)
 
 
+def test_export_script_cli(tmp_path):
+    """Drive scripts/export.py end-to-end: YAML + overrides -> batched
+    uint8-in frames->keypoints StableHLO artifact whose static signature
+    matches the requested EVAL.export_batch (the reference surface is
+    scripts/export.py:29-33; serving loads it via
+    serving.load_serving_artifact)."""
+    import sys
+    import types
+    import yaml
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+    from hourglass_pose_estimation_tpu.serving import load_serving_artifact
+
+    model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                         dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = types.SimpleNamespace(
+        params=variables['params'], batch_stats=variables['batch_stats'],
+        opt_state={}, step=jnp.int32(0))
+    ckpt = str(tmp_path / 'ckpt')
+    ckpt_lib.save(ckpt, state, epoch=1, best_acc=0.0)
+
+    cfg = {'DATASET': {'name': 'mpii', 'inp_res': 64, 'out_res': 16},
+           'MODEL': {'arch': 'hg', 'num_stacks': 1, 'num_blocks': 1,
+                     'num_classes': 16},
+           'COMMON': {'checkpoint_dir': str(tmp_path), 'resume': ckpt}}
+    cfg_path = str(tmp_path / 'cfg.yaml')
+    with open(cfg_path, 'w') as fp:
+        yaml.safe_dump(cfg, fp)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    import export as export_cli
+    assert export_cli.main(
+        ['export.py', cfg_path, 'EVAL.export_keypoints=true',
+         'EVAL.export_preprocess=true', 'EVAL.export_batch=3',
+         'EVAL.export_bf16_weights=true']) == 0
+
+    fn, batch, frame_shape, dtype = load_serving_artifact(
+        os.path.join(str(tmp_path), 'export', 'model.stablehlo'))
+    assert batch == 3 and frame_shape == (64, 64, 3)
+    assert dtype == np.uint8
+    kps, maxv = fn(np.random.RandomState(0).randint(
+        0, 255, (3, 64, 64, 3)).astype(np.uint8))
+    assert kps.shape == (3, 16, 2) and maxv.shape[:2] == (3, 16)
+
+
 def test_estimator_decode_mapping():
     """A delta heatmap must map through the corrected v2 decode to the
     stride-consistent frame location. (The reference's own synthesized
