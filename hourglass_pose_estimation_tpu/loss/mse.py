@@ -26,11 +26,13 @@ def heatmap_mse_loss(outputs, target, target_weight=None, use_target_weight=True
       target_weight: [B, J] visibility weights (or None).
     Returns scalar float32 loss.
     """
-    outputs = outputs.astype(jnp.float32)
-    target = target.astype(jnp.float32)[None]           # [1, B, H, W, J]
+    # upcast to at least f32 (bf16 inputs -> f32; f64 parity runs stay f64)
+    dt = jnp.promote_types(jnp.float32, outputs.dtype)
+    outputs = outputs.astype(dt)
+    target = target.astype(dt)[None]                    # [1, B, H, W, J]
     diff = outputs - target
     if use_target_weight and target_weight is not None:
-        w = target_weight.astype(jnp.float32)[None, :, None, None, :]
+        w = target_weight.astype(dt)[None, :, None, None, :]
         diff = diff * w
     # mean over (B, H, W) per (stack, joint); then mean over joints,
     # sum over stacks == S * mean over everything.

@@ -64,7 +64,7 @@ class HourglassNet(nn.Module):
                     use_bias=True, dtype=dt, param_dtype=jnp.float32,
                     name='conv1')(x)
         x = BatchNorm(use_running_average=not train, momentum=0.9,
-                      epsilon=1e-5, dtype=jnp.float32,
+                      epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                       stat_samples=self.bn_stat_samples,
                       axis_name=self.bn_axis_name, name='bn1')(x)
         x = nn.relu(x).astype(dt)
@@ -98,7 +98,7 @@ class HourglassNet(nn.Module):
                               name=f'res{i}')(y, train=train)
             y = conv1x1(ch, f'fc{i}')(y)
             y = BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=jnp.float32,
+                          epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                           stat_samples=self.bn_stat_samples,
                           axis_name=self.bn_axis_name,
                           name=f'fc_bn{i}')(y)
@@ -136,7 +136,7 @@ class HourglassStem(nn.Module):
                     use_bias=True, dtype=dt, param_dtype=jnp.float32,
                     name='conv1')(x)
         x = BatchNorm(use_running_average=not train, momentum=0.9,
-                      epsilon=1e-5, dtype=jnp.float32,
+                      epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                       stat_samples=self.bn_stat_samples,
                       axis_name=self.bn_axis_name, name='bn1')(x)
         x = nn.relu(x).astype(dt)
@@ -190,7 +190,7 @@ class HourglassStack(nn.Module):
                           name='res')(y, train=train)
         y = conv1x1(ch, 'fc')(y)
         y = BatchNorm(use_running_average=not train, momentum=0.9,
-                      epsilon=1e-5, dtype=jnp.float32,
+                      epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                       stat_samples=self.bn_stat_samples,
                       axis_name=self.bn_axis_name, name='fc_bn')(y)
         y = nn.relu(y).astype(dt)

@@ -69,7 +69,8 @@ class Bottleneck(nn.Module):
         c_out = self.planes * EXPANSION
         norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, stat_samples=self.bn_stat_samples,
+            dtype=jnp.promote_types(jnp.float32, self.dtype),
+            stat_samples=self.bn_stat_samples,
             axis_name=self.bn_axis_name, name=name)
         conv = lambda feats, k, s, groups, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,

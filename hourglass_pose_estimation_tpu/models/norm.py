@@ -52,6 +52,9 @@ class BatchNorm(nn.Module):
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((C,), jnp.float32))
 
+        # statistics in >= f32: f32 for bf16/f32 activations (TPU path),
+        # f64 when the caller runs a float64 numerical-parity check
+        sdt = jnp.promote_types(jnp.float32, x.dtype)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -59,7 +62,7 @@ class BatchNorm(nn.Module):
             k = self.stat_samples
             if k and 0 < k < x.shape[0]:
                 xs = x[:k]
-            xf = xs.astype(jnp.float32)
+            xf = xs.astype(sdt)
             axes = tuple(range(xf.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             # fast variance: E[x^2] - E[x]^2 (flax use_fast_variance)
@@ -73,7 +76,7 @@ class BatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * var
 
-        mul = scale * jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean) * mul + bias
+        mul = scale.astype(sdt) * jax.lax.rsqrt(var.astype(sdt) + self.epsilon)
+        y = (x.astype(sdt) - mean) * mul + bias
         dtype = self.dtype or x.dtype
         return y.astype(dtype)

@@ -283,3 +283,112 @@ def test_import_cli_produces_loadable_checkpoint(tmp_path):
     for x, y in zip(jax.tree.leaves(stats),
                     jax.tree.leaves(direct['batch_stats'])):
         np.testing.assert_array_equal(x, y)
+
+
+def test_train_step_matches_reference_end_to_end():
+    """The deepest accuracy-parity evidence obtainable without real
+    data: with identical weights and an identical batch, the reference
+    torch training step and this framework's step must agree on (a) the
+    loss, (b) every per-parameter gradient, and (c) the parameter delta
+    of one RMSprop update. Ties together the forward-parity, loss-oracle
+    and optimizer-oracle tests into one end-to-end claim: d(loss)/
+    d(params) — the training dynamics — match across frameworks.
+    Oracle: /root/reference `src/runner/trainer.py:82-99`
+    (forward -> MSELoss -> backward -> RMSprop.step), run in-process.
+
+    Both sides run in float64: in f32 the comparison is ill-posed —
+    d(loss)/d(bn1.bias) is a ~2% residue of cancelling terms (a
+    per-channel shift of an early BN's output is almost annihilated by
+    the next BN), so both frameworks' f32 values carry ~10% cancellation
+    noise. In f64 the agreement is exact arithmetic (loss ~1e-14 rel,
+    measured), so the tolerances below are tight.
+    """
+    tmodel = _reference_hg(1, False, 'sum')
+    _randomize_(tmodel, seed=17)
+    tmodel.train()
+    tmodel = tmodel.double()
+    from src.loss.mse import MSELoss as TorchMSE
+
+    gen = torch.Generator().manual_seed(23)
+    x = torch.randn(4, 3, 64, 64, generator=gen).double()
+    tgt = torch.rand(4, 16, 16, 16, generator=gen).double()     # [B,J,h,w]
+    tw = (torch.rand(4, 16, 1, generator=gen) > 0.25).double()  # [B,J,1]
+
+    lr = 2.5e-3
+    opt = torch.optim.RMSprop(tmodel.parameters(), lr=lr, momentum=0,
+                              weight_decay=0)
+    opt.zero_grad()
+    tloss = TorchMSE(use_target_weight=True)(tmodel(x), tgt, tw)
+    tloss.backward()
+
+    named = dict(tmodel.named_parameters())
+    pre = {k: v.detach().clone() for k, v in tmodel.state_dict().items()}
+    grads_sd = {}
+    for name, t in pre.items():
+        p = named.get(name)
+        if p is not None and p.grad is not None:
+            grads_sd[name] = p.grad.detach().clone()
+        else:
+            grads_sd[name] = t  # BN running stats / counters: ignored below
+    opt.step()
+    post = {k: v.detach().clone() for k, v in tmodel.state_dict().items()}
+
+    def convert64(sd):
+        return jax.tree.map(lambda a: np.asarray(a, np.float64),
+                            convert_torch_state_dict(sd))
+
+    variables = convert64(pre)
+    ref_grads = convert64(grads_sd)['params']
+    ref_delta = convert64(
+        {k: post[k] - pre[k] if pre[k].dtype.is_floating_point else pre[k]
+         for k in pre})['params']
+
+    from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
+    from hourglass_pose_estimation_tpu.runner.train_state import make_optimizer
+
+    def assert_tree_close(got, ref, what, rel_tol, floor):
+        gl, _ = jax.tree_util.tree_flatten_with_path(got)
+        rl = jax.tree.leaves(ref)
+        assert len(gl) == len(rl)
+        # floor the denominator at `floor` x the largest leaf norm: conv
+        # biases feeding a BN have true gradient ~0 (BN subtracts any
+        # shift), so their own norm (~1e-15) is pure noise — per-leaf
+        # relative error is meaningless there, global-relative is not.
+        gmax = max(np.linalg.norm(np.asarray(r)) for r in rl)
+        for (path, g), r in zip(gl, rl):
+            g, r = np.asarray(g), np.asarray(r)
+            scale = np.linalg.norm(r)
+            err = np.linalg.norm(g - r) / (scale + floor * gmax)
+            assert err < rel_tol, (
+                f'{what} mismatch at {jax.tree_util.keystr(path)}: '
+                f'rel-L2 {err:.2e} (|ref|={scale:.3e})')
+
+    with jax.enable_x64(True):
+        model = HourglassNet(num_stacks=1, num_blocks=1, num_classes=16,
+                             dtype=jnp.float64, out_dtype=jnp.float64)
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        tj = jnp.asarray(tgt.numpy().transpose(0, 2, 3, 1))
+        twj = jnp.asarray(tw.numpy()[..., 0])
+        params = jax.tree.map(jnp.asarray, variables['params'])
+        bstats = jax.tree.map(jnp.asarray, variables['batch_stats'])
+
+        def loss_fn(p):
+            scores, _ = model.apply(
+                {'params': p, 'batch_stats': bstats},
+                xj, train=True, mutable=['batch_stats'])
+            return heatmap_mse_loss(scores, tj, twj)
+
+        jloss, jgrads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(jloss), float(tloss.item()),
+                                   rtol=1e-11)
+        assert_tree_close(jgrads, ref_grads, 'gradient', 1e-6, floor=1e-6)
+
+        tx = make_optimizer(lr, schedule_epochs=[], gamma=0.1,
+                            steps_per_epoch=1, flat=False)
+        updates, _ = tx.update(jgrads, tx.init(params), params)
+        # near-zero grads hit the eps-dominated regime (delta ~ lr*g/eps,
+        # sensitivity lr/eps ~ 2.5e5), amplifying the ~1e-15 gradient
+        # noise to ~1e-11 absolute in the delta — hence the higher floor
+        # (1e-4 x the ~0.03 max-leaf delta ~ 1e-5 denominator)
+        assert_tree_close(updates, ref_delta, 'one-step param delta',
+                          1e-5, floor=1e-4)
