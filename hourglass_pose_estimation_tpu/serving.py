@@ -15,7 +15,11 @@ XLA-shape discipline: exported StableHLO has a static [B, H, W, C]
 input, so partial batches are PADDED to B (one compiled program, no
 bucket re-compiles); padding rides the same call and its outputs are
 dropped. The worker is a single thread owning the device — requests
-never contend for the chip, and the queue provides natural backpressure.
+never contend for the chip. Backpressure is explicit: the queue is
+capped (`max_queue`, default 8 batches) and `submit` raises QueueFull
+at capacity; callers that stop waiting should cancel() their Future —
+cancelled entries are shed at dequeue time so the chip never computes
+results nobody will read.
 """
 
 from __future__ import annotations
@@ -29,6 +33,14 @@ from typing import Any, Callable, Sequence, Tuple
 import numpy as np
 
 
+class Unavailable(RuntimeError):
+    """The batcher cannot take this request (HTTP layer maps to 503)."""
+
+
+class QueueFull(Unavailable):
+    """submit() called with the request queue at capacity."""
+
+
 class MicroBatcher:
     """Coalesce concurrent single-frame requests into batched calls.
 
@@ -39,18 +51,25 @@ class MicroBatcher:
 
     def __init__(self, infer_fn: Callable[[np.ndarray], Any],
                  batch_size: int, frame_shape: Sequence[int],
-                 dtype=np.uint8, max_wait_ms: float = 5.0):
+                 dtype=np.uint8, max_wait_ms: float = 5.0,
+                 max_queue: int = 0):
         self.infer_fn = infer_fn
         self.batch_size = int(batch_size)
         self.frame_shape = tuple(frame_shape)
         self.dtype = np.dtype(dtype)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        # queue cap = the real backpressure: at sustained overload,
+        # reject at ingress instead of buffering frames (~MBs each)
+        # for results the client has long stopped waiting for
+        self.max_queue = int(max_queue) or 8 * self.batch_size
         self._q: deque = deque()
         self._cv = threading.Condition()
         self._closed = False
         self.n_requests = 0
         self.n_batches = 0
         self.n_frames = 0
+        self.n_rejected = 0
+        self.n_shed = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -64,7 +83,11 @@ class MicroBatcher:
         fut: Future = Future()
         with self._cv:
             if self._closed:
-                raise RuntimeError('MicroBatcher is closed')
+                raise Unavailable('MicroBatcher is closed')
+            if len(self._q) >= self.max_queue:
+                self.n_rejected += 1
+                raise QueueFull(
+                    f'request queue at capacity ({self.max_queue})')
             self._q.append((frame, fut))
             self.n_requests += 1
             self._cv.notify()
@@ -88,8 +111,17 @@ class MicroBatcher:
                 if left <= 0:
                     break
                 self._cv.wait(left)
-            n = min(len(self._q), self.batch_size)
-            return [self._q.popleft() for _ in range(n)]
+            # shed entries whose caller already gave up (Future.cancel
+            # succeeds while queued — these never ran) so the device
+            # only computes results somebody is still waiting for
+            batch = []
+            while self._q and len(batch) < self.batch_size:
+                frame, fut = self._q.popleft()
+                if fut.done():
+                    self.n_shed += 1
+                else:
+                    batch.append((frame, fut))
+            return batch
 
     def _run(self):
         buf = np.zeros((self.batch_size,) + self.frame_shape, self.dtype)
@@ -109,7 +141,8 @@ class MicroBatcher:
                 self.n_batches += 1
                 self.n_frames += n
                 for i, (_, fut) in enumerate(batch):
-                    fut.set_result(_slice_tree(out, i))
+                    if not fut.done():    # racing cancel() loses quietly
+                        fut.set_result(_slice_tree(out, i))
             except Exception as e:          # fan the failure to all waiters
                 for _, fut in batch:
                     if not fut.done():
@@ -161,6 +194,7 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
     """
     import io
     import json
+    from concurrent.futures import TimeoutError as FuturesTimeout
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     H, W = batcher.frame_shape[0], batcher.frame_shape[1]
@@ -198,6 +232,8 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
                 self._json(200, {'requests': batcher.n_requests,
                                  'batches': batcher.n_batches,
                                  'frames': batcher.n_frames,
+                                 'rejected': batcher.n_rejected,
+                                 'shed': batcher.n_shed,
                                  'batch_size': batcher.batch_size})
             else:
                 self._json(404, {'error': 'not found'})
@@ -206,13 +242,30 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
             if self.path != '/keypoints':
                 self._json(404, {'error': 'not found'})
                 return
+            # 400 = bad input (decode/shape); 503 = overload/shutdown
+            # (retryable, load balancers eject the backend); 500 = the
+            # inference call itself failed. Conflating them makes
+            # clients treat an overloaded server as their own bad input.
             try:
                 n = int(self.headers.get('Content-Length', 0))
                 frame = decode_body(self.rfile.read(n),
                                     self.headers.get('Content-Type', ''))
-                out = batcher.submit(frame).result(timeout=60)
             except Exception as e:
                 self._json(400, {'error': f'{type(e).__name__}: {e}'})
+                return
+            try:
+                fut = batcher.submit(frame)
+            except Unavailable as e:
+                self._json(503, {'error': f'{type(e).__name__}: {e}'})
+                return
+            try:
+                out = fut.result(timeout=60)
+            except FuturesTimeout:
+                fut.cancel()                 # shed: don't compute for nobody
+                self._json(503, {'error': 'inference queue timeout'})
+                return
+            except Exception as e:
+                self._json(500, {'error': f'{type(e).__name__}: {e}'})
                 return
             if isinstance(out, tuple) and len(out) == 2:
                 kps, maxv = out

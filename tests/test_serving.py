@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import pytest
 
 from hourglass_pose_estimation_tpu.serving import (
-    MicroBatcher, load_serving_artifact, make_server)
+    MicroBatcher, QueueFull, load_serving_artifact, make_server)
 
 
 def test_microbatcher_coalesces_and_slices():
@@ -57,6 +57,38 @@ def test_microbatcher_rejects_bad_shape_and_propagates_errors():
             fut.result(timeout=30)
     finally:
         mb.close()
+
+
+def test_microbatcher_backpressure_and_shedding():
+    release = threading.Event()
+
+    def slow(batch):
+        release.wait(30)
+        return batch.astype(np.float32).sum(axis=(1, 2, 3))
+
+    mb = MicroBatcher(slow, batch_size=2, frame_shape=(4, 4, 3),
+                      max_wait_ms=1.0, max_queue=3)
+    frame = np.zeros((4, 4, 3), np.uint8)
+    try:
+        first = mb.submit(frame)          # worker takes this, blocks in slow()
+        # give the worker time to dequeue it so the queue itself is empty
+        deadline = time.monotonic() + 5
+        while mb._q and time.monotonic() < deadline:
+            time.sleep(0.01)
+        queued = [mb.submit(frame) for _ in range(3)]   # fills the cap
+        with pytest.raises(QueueFull):
+            mb.submit(frame)
+        assert mb.n_rejected == 1
+        # a caller that gives up while queued is shed, never computed
+        assert queued[0].cancel()
+        release.set()
+        for fut in queued[1:]:
+            assert float(fut.result(timeout=30)) == 0.0
+        assert float(first.result(timeout=30)) == 0.0
+    finally:
+        mb.close()
+    assert mb.n_shed == 1
+    assert mb.n_frames == 3               # 1 first + 2 surviving queued
 
 
 @pytest.fixture(scope='module')
@@ -158,6 +190,19 @@ def test_http_server_jpeg_body_and_errors(keypoint_artifact):
             assert 'error' in json.loads(e.read())
         with urllib.request.urlopen(base + '/healthz', timeout=30) as r:
             assert json.loads(r.read())['ok']
+
+        # closed batcher -> 503 (retryable server condition, not 400)
+        mb.close()
+        buf = io.BytesIO()
+        np.save(buf, np.zeros(frame_shape, np.uint8))
+        unavail = urllib.request.Request(
+            base + '/keypoints', data=buf.getvalue(),
+            headers={'Content-Type': 'application/x-npy'})
+        try:
+            urllib.request.urlopen(unavail, timeout=30)
+            assert False, 'expected HTTP 503'
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
     finally:
         srv.shutdown()
         mb.close()

@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument('--max-wait-ms', type=float, default=5.0,
                     help='linger after the first queued frame before '
                          'dispatching a partial batch')
+    ap.add_argument('--max-queue', type=int, default=0,
+                    help='queued-frame cap before submits get HTTP 503 '
+                         '(0 = 8 batches)')
     args = ap.parse_args(argv)
 
     from hourglass_pose_estimation_tpu.serving import (
@@ -45,7 +48,8 @@ def main(argv=None):
     import numpy as np
     fn(np.zeros((batch,) + frame_shape, dtype))    # compile before serving
     batcher = MicroBatcher(fn, batch, frame_shape, dtype=dtype,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue)
     srv = make_server(batcher, args.host, args.port)
     print(f'serving {args.artifact} (batch {batch}, frame {frame_shape} '
           f'{dtype}) on http://{srv.server_address[0]}:'
