@@ -180,7 +180,7 @@ def load_serving_artifact(path: str) -> Tuple[Callable, int, Tuple[int, ...],
 
 
 def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
-                port: int = 0):
+                port: int = 0, result_timeout: float = 60.0):
     """Threaded stdlib HTTP server over a MicroBatcher.
 
     POST /keypoints with an encoded image body (JPEG/PNG, decoded via
@@ -259,7 +259,7 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
                 self._json(503, {'error': f'{type(e).__name__}: {e}'})
                 return
             try:
-                out = fut.result(timeout=60)
+                out = fut.result(timeout=result_timeout)
             except FuturesTimeout:
                 fut.cancel()                 # shed: don't compute for nobody
                 self._json(503, {'error': 'inference queue timeout'})

@@ -91,6 +91,63 @@ def test_microbatcher_backpressure_and_shedding():
     assert mb.n_frames == 3               # 1 first + 2 surviving queued
 
 
+def _post_npy(base, frame, timeout=30):
+    buf = io.BytesIO()
+    np.save(buf, frame)
+    req = urllib.request.Request(
+        base + '/keypoints', data=buf.getvalue(),
+        headers={'Content-Type': 'application/x-npy'})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_http_server_maps_inference_failure_to_500():
+    def boom(batch):
+        raise RuntimeError('device on fire')
+
+    mb = MicroBatcher(boom, batch_size=2, frame_shape=(4, 4, 3),
+                      max_wait_ms=1.0)
+    srv = make_server(mb, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://{srv.server_address[0]}:{srv.server_address[1]}'
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npy(base, np.zeros((4, 4, 3), np.uint8))
+        assert exc.value.code == 500
+        assert 'device on fire' in json.loads(exc.value.read())['error']
+    finally:
+        srv.shutdown()
+        mb.close()
+
+
+def test_http_server_queue_timeout_503_and_sheds():
+    release = threading.Event()
+
+    def slow(batch):
+        release.wait(30)
+        return batch.astype(np.float32).sum(axis=(1, 2, 3))
+
+    mb = MicroBatcher(slow, batch_size=1, frame_shape=(4, 4, 3),
+                      max_wait_ms=1.0)
+    srv = make_server(mb, port=0, result_timeout=0.5)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://{srv.server_address[0]}:{srv.server_address[1]}'
+    try:
+        # worker is stuck in slow(); a second request times out queued,
+        # gets 503, and its cancelled future is shed instead of computed
+        _post_npy(base, np.zeros((4, 4, 3), np.uint8))  # hangs the worker
+    except urllib.error.HTTPError as e:
+        assert e.code == 503                    # first may time out too
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npy(base, np.zeros((4, 4, 3), np.uint8))
+        assert exc.value.code == 503
+        assert 'timeout' in json.loads(exc.value.read())['error']
+        release.set()
+    finally:
+        srv.shutdown()
+        mb.close()
+
+
 @pytest.fixture(scope='module')
 def keypoint_artifact(tmp_path_factory):
     """Batched (B=4) uint8-in frames->keypoints artifact of a tiny net."""
