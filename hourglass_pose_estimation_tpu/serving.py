@@ -70,6 +70,9 @@ class MicroBatcher:
         self.n_frames = 0
         self.n_rejected = 0
         self.n_shed = 0
+        # last-1000 per-batch wall latencies (infer + result fan-out,
+        # i.e. including the host value fetch) for /stats percentiles
+        self._lat: deque = deque(maxlen=1000)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -136,6 +139,7 @@ class MicroBatcher:
                 buf[i] = frame
             if n < self.batch_size:
                 buf[n:] = 0
+            t0 = time.monotonic()
             try:
                 out = self.infer_fn(buf)
                 self.n_batches += 1
@@ -143,10 +147,24 @@ class MicroBatcher:
                 for i, (_, fut) in enumerate(batch):
                     if not fut.done():    # racing cancel() loses quietly
                         fut.set_result(_slice_tree(out, i))
+                with self._cv:
+                    self._lat.append(time.monotonic() - t0)
             except Exception as e:          # fan the failure to all waiters
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def stats(self) -> dict:
+        with self._cv:
+            lat = sorted(self._lat)
+            depth = len(self._q)
+        pct = (lambda q: round(lat[int(q * (len(lat) - 1))] * 1e3, 3)) \
+            if lat else (lambda q: None)
+        return {'requests': self.n_requests, 'batches': self.n_batches,
+                'frames': self.n_frames, 'rejected': self.n_rejected,
+                'shed': self.n_shed, 'batch_size': self.batch_size,
+                'queue_depth': depth, 'batch_latency_ms_p50': pct(0.50),
+                'batch_latency_ms_p95': pct(0.95)}
 
     def close(self, timeout: float = 10.0):
         """Drain the queue and stop the worker."""
@@ -229,12 +247,7 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
             if self.path == '/healthz':
                 self._json(200, {'ok': True})
             elif self.path == '/stats':
-                self._json(200, {'requests': batcher.n_requests,
-                                 'batches': batcher.n_batches,
-                                 'frames': batcher.n_frames,
-                                 'rejected': batcher.n_rejected,
-                                 'shed': batcher.n_shed,
-                                 'batch_size': batcher.batch_size})
+                self._json(200, batcher.stats())
             else:
                 self._json(404, {'error': 'not found'})
 

@@ -211,6 +211,9 @@ def test_http_server_concurrent_clients(keypoint_artifact):
         assert stats['requests'] >= 7
         assert stats['batches'] <= stats['requests']
         assert stats['batch_size'] == 4
+        assert stats['queue_depth'] == 0        # drained
+        assert stats['batch_latency_ms_p50'] > 0
+        assert stats['batch_latency_ms_p95'] >= stats['batch_latency_ms_p50']
     finally:
         srv.shutdown()
         mb.close()
