@@ -73,6 +73,11 @@ class ModelConfig:
     skip_mode: str = 'sum'
     num_classes: int = 0           # 0 -> derive from dataset / subset
     subset: Optional[List[int]] = None
+    # MSPN decoder width. The reference factory overloads num_blocks for
+    # this (mspn.py:310, so its Trainer silently builds width 1); here it
+    # is explicit so reference MSPN checkpoints of any width import.
+    # arch=hg rejects non-default values rather than ignore them.
+    up_channel_num: int = 256
 
     def __post_init__(self):
         if self.skip_mode not in ('sum', 'concat'):

@@ -206,6 +206,10 @@ def hg(**kwargs):
 
     Accepts and ignores `out_res` exactly like the reference factory.
     """
+    if kwargs.get('up_channel_num', 256) != 256:
+        raise ValueError('arch=hg does not support up_channel_num '
+                         '(MSPN decoder width); got '
+                         f"{kwargs['up_channel_num']!r}")
     return HourglassNet(
         num_stacks=kwargs['num_stacks'],
         num_blocks=kwargs.get('num_blocks', 1),

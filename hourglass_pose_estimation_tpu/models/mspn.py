@@ -181,8 +181,12 @@ class SingleStage(nn.Module):
             mobile=self.mobile, dtype=self.dtype,
             name='downsample')(x, skip1, skip2, train)
 
-        h, w = self.output_shape
-        up_sizes = [(h // 8, w // 8), (h // 4, w // 4), (h // 2, w // 2), (h, w)]
+        # inter-unit upsample targets are the downsample pyramid's own
+        # spatial shapes (inp/32 .. inp/4). The reference derives them
+        # from output_shape (mspn.py:208-213), which only coincides in
+        # its fixed out_res == inp/4 configuration; deriving from the
+        # features is identical there and correct for any out_res.
+        up_sizes = [tuple(f.shape[1:3]) for f in (x4, x3, x2, x1)]
         common = dict(output_chl_num=self.output_chl_num,
                       output_shape=self.output_shape, chl_num=self.chl_num,
                       gen_skip=self.gen_skip,

@@ -65,6 +65,8 @@ class Trainer:
                                num_blocks=mc.num_blocks,
                                num_classes=self.num_classes,
                                mobile=mc.mobile, skip_mode=mc.skip_mode,
+                               out_res=dc.out_res,
+                               up_channel_num=mc.up_channel_num,
                                dtype=dtype, remat=tc.remat,
                                bn_stat_samples=tc.bn_stat_samples,
                                bn_axis_name=bn_axis)

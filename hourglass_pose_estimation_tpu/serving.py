@@ -18,8 +18,9 @@ dropped. The worker is a single thread owning the device — requests
 never contend for the chip. Backpressure is explicit: the queue is
 capped (`max_queue`, default 8 batches) and `submit` raises QueueFull
 at capacity; callers that stop waiting should cancel() their Future —
-cancelled entries are shed at dequeue time so the chip never computes
-results nobody will read.
+entries cancelled while still queued are shed at dequeue time so the
+chip never computes results nobody will read (once a batch is claimed
+for execution, cancel() fails and the caller just drops the result).
 """
 
 from __future__ import annotations
@@ -116,14 +117,17 @@ class MicroBatcher:
                 self._cv.wait(left)
             # shed entries whose caller already gave up (Future.cancel
             # succeeds while queued — these never ran) so the device
-            # only computes results somebody is still waiting for
+            # only computes results somebody is still waiting for.
+            # set_running_or_notify_cancel atomically claims survivors:
+            # from here on cancel() fails, so the result fan-out cannot
+            # race a cancel into InvalidStateError.
             batch = []
             while self._q and len(batch) < self.batch_size:
                 frame, fut = self._q.popleft()
-                if fut.done():
-                    self.n_shed += 1
-                else:
+                if fut.set_running_or_notify_cancel():
                     batch.append((frame, fut))
+                else:
+                    self.n_shed += 1
             return batch
 
     def _run(self):
@@ -142,17 +146,22 @@ class MicroBatcher:
             t0 = time.monotonic()
             try:
                 out = self.infer_fn(buf)
-                self.n_batches += 1
-                self.n_frames += n
-                for i, (_, fut) in enumerate(batch):
-                    if not fut.done():    # racing cancel() loses quietly
-                        fut.set_result(_slice_tree(out, i))
-                with self._cv:
-                    self._lat.append(time.monotonic() - t0)
             except Exception as e:          # fan the failure to all waiters
                 for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _set_quietly(fut.set_exception, e)
+                continue
+            self.n_batches += 1
+            self.n_frames += n
+            for i, (_, fut) in enumerate(batch):
+                # per-future isolation: a failure delivering one result
+                # must neither poison its batchmates nor kill this
+                # worker thread (the whole server hangs without it)
+                try:
+                    fut.set_result(_slice_tree(out, i))
+                except Exception as e:
+                    _set_quietly(fut.set_exception, e)
+            with self._cv:
+                self._lat.append(time.monotonic() - t0)
 
     def stats(self) -> dict:
         with self._cv:
@@ -172,6 +181,15 @@ class MicroBatcher:
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout)
+
+
+def _set_quietly(setter, e):
+    """Deliver a Future failure without ever raising (InvalidStateError
+    on an already-failed future must not kill the worker thread)."""
+    try:
+        setter(e)
+    except Exception:
+        pass
 
 
 def _slice_tree(out: Any, i: int):
@@ -270,6 +288,9 @@ def make_server(batcher: MicroBatcher, host: str = '127.0.0.1',
                 fut = batcher.submit(frame)
             except Unavailable as e:
                 self._json(503, {'error': f'{type(e).__name__}: {e}'})
+                return
+            except ValueError as e:     # frame shape/dtype rejected
+                self._json(400, {'error': f'{type(e).__name__}: {e}'})
                 return
             try:
                 out = fut.result(timeout=result_timeout)

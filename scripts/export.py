@@ -33,7 +33,9 @@ def main(argv):
     model = get_model(cfg.model.arch, num_stacks=cfg.model.num_stacks,
                       num_blocks=cfg.model.num_blocks,
                       num_classes=num_classes, mobile=cfg.model.mobile,
-                      skip_mode=cfg.model.skip_mode)
+                      skip_mode=cfg.model.skip_mode,
+                      out_res=cfg.dataset.out_res,
+                      up_channel_num=cfg.model.up_channel_num)
 
     if not (cfg.common.resume and os.path.exists(cfg.common.resume)):
         raise FileNotFoundError("Checkpoint doesn't exist: "

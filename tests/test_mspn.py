@@ -2,6 +2,7 @@
 train end-to-end — SURVEY.md §2; ours must)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -90,3 +91,27 @@ def test_mspn_factory():
                   mobile=False, num_blocks=1)
     assert isinstance(m, MSPN)
     assert m.up_channel_num == 256  # num_blocks is NOT up_channel_num here
+
+
+def test_model_config_plumbs_out_res_and_width():
+    """Regression: Trainer/export/importer must build the model the
+    config describes — an MSPN validated at DATASET.out_res!=64 or a
+    reference width!=256 checkpoint (its factory maps num_blocks to
+    up_channel_num, mspn.py:310) previously got the class defaults."""
+    from hourglass_pose_estimation_tpu.config import load_config
+    from hourglass_pose_estimation_tpu.runner.trainer import Trainer
+
+    cfg = load_config(raw={
+        'DATASET': {'name': 'synthetic', 'inp_res': 64, 'out_res': 32,
+                    'num_samples': 4},
+        'MODEL': {'arch': 'mspn', 'num_stacks': 1, 'up_channel_num': 64},
+        'TRAIN': {'epochs': 1, 'train_batch': 2, 'val_batch': 2},
+        'COMMON': {'checkpoint_dir': '/tmp/mspn_cfg_test'},
+    })
+    tr = Trainer(cfg, verbose=False)
+    assert tr.model.out_res == 32
+    assert tr.model.up_channel_num == 64
+
+    # arch=hg must reject the MSPN-only knob instead of ignoring it
+    with pytest.raises(ValueError, match='up_channel_num'):
+        get_model('hg', num_stacks=1, num_classes=16, up_channel_num=64)

@@ -119,6 +119,24 @@ def test_http_server_maps_inference_failure_to_500():
         mb.close()
 
 
+def test_http_server_maps_shape_mismatch_to_400():
+    # decode only fixes H/W; a wrong channel count reaches submit(),
+    # whose ValueError must surface as HTTP 400, not a dropped socket
+    mb = MicroBatcher(lambda b: b.sum(axis=(1, 2, 3)), batch_size=2,
+                      frame_shape=(4, 4, 3), max_wait_ms=1.0)
+    srv = make_server(mb, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://{srv.server_address[0]}:{srv.server_address[1]}'
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npy(base, np.zeros((4, 4, 4), np.uint8))
+        assert exc.value.code == 400
+        assert 'frame shape' in json.loads(exc.value.read())['error']
+    finally:
+        srv.shutdown()
+        mb.close()
+
+
 def test_http_server_queue_timeout_503_and_sheds():
     release = threading.Event()
 
@@ -186,12 +204,7 @@ def test_http_server_concurrent_clients(keypoint_artifact):
     def post_npy(seed):
         frame = np.random.RandomState(seed).randint(
             0, 255, frame_shape).astype(np.uint8)
-        buf = io.BytesIO()
-        np.save(buf, frame)
-        req = urllib.request.Request(
-            base + '/keypoints', data=buf.getvalue(),
-            headers={'Content-Type': 'application/x-npy'})
-        with urllib.request.urlopen(req, timeout=60) as r:
+        with _post_npy(base, frame, timeout=60) as r:
             return json.loads(r.read())
 
     try:

@@ -52,7 +52,8 @@ def main(argv=None):
     model = get_model(mc.arch, num_stacks=mc.num_stacks,
                       num_blocks=mc.num_blocks, num_classes=num_classes,
                       mobile=mc.mobile, skip_mode=mc.skip_mode,
-                      out_res=cfg.dataset.out_res)
+                      out_res=cfg.dataset.out_res,
+                      up_channel_num=mc.up_channel_num)
     # template for structure validation + optimizer-state layout
     tx = make_optimizer(tc.learning_rate, tc.schedule, tc.gamma,
                         steps_per_epoch=1)
