@@ -375,3 +375,26 @@ def test_bf16_weight_inference_close_to_f32():
     assert float(jnp.abs(k16 - k32).max()) <= 4.0
     np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
                                rtol=0.1, atol=0.05)
+
+
+def test_estimator_runs_mspn():
+    """The single-image inference surface works for arch=mspn too
+    (reference parity gap: its Estimator is hg-only in practice since
+    MSPN never trains there); out_res/up_channel_num flow from config."""
+    from hourglass_pose_estimation_tpu.models import MSPN
+    cfg = load_config(raw={
+        'MODEL': {'arch': 'mspn', 'num_stacks': 1, 'num_classes': 16,
+                  'up_channel_num': 64},
+        'COMMON': {'dataset': 'mpii', 'in_res': 64, 'out_res': 16},
+        'DATASET': {'inp_res': 64, 'out_res': 16},
+    })
+    model = MSPN(num_stacks=1, num_classes=16, out_res=16,
+                 up_channel_num=64, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    est = Estimator(cfg, params=variables['params'],
+                    batch_stats=variables['batch_stats'])
+    frame = (np.random.RandomState(0).uniform(
+        0, 255, (120, 160, 3))).astype(np.uint8)
+    kps = est.run(frame, time_it=False)
+    assert kps.shape == (16, 2)
