@@ -285,6 +285,39 @@ def test_import_cli_produces_loadable_checkpoint(tmp_path):
         np.testing.assert_array_equal(x, y)
 
 
+def test_import_cli_mspn_nondefault_width(tmp_path):
+    """Regression: a reference MSPN checkpoint with decoder width != 256
+    (its factory maps num_blocks -> up_channel_num, mspn.py:310) imports
+    via MODEL.up_channel_num; previously no config key could express it."""
+    if not os.path.isdir(os.path.join(REFERENCE, 'src')):
+        pytest.skip('reference checkout not available')
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from src.models.mspn import mspn as torch_mspn
+    tmodel = torch_mspn(num_stacks=1, num_classes=16, out_res=16,
+                        mobile=False, num_blocks=64)
+    _randomize_(tmodel, seed=6)
+    src = tmp_path / 'mspn.pth.tar'
+    torch.save(tmodel.state_dict(), src)
+    cfg = tmp_path / 'cfg.yaml'
+    cfg.write_text(
+        'DATASET:\n  name: synthetic\n  inp_res: 64\n  out_res: 16\n'
+        'MODEL:\n  arch: mspn\n  num_stacks: 1\n  num_classes: 16\n'
+        '  up_channel_num: 64\n')
+    out = tmp_path / 'imported'
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import import_torch_checkpoint
+    assert import_torch_checkpoint.main([str(cfg), str(src), str(out)]) == 0
+
+    from hourglass_pose_estimation_tpu.runner import checkpoint
+    params, _ = checkpoint.restore_params(str(out))
+    direct = convert_torch_state_dict(tmodel.state_dict())
+    for x, y in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(direct['params'])):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_train_step_matches_reference_end_to_end():
     """The deepest accuracy-parity evidence obtainable without real
     data: with identical weights and an identical batch, the reference

@@ -14,8 +14,10 @@ Usage:
       <checkpoint.pth.tar> <out_dir> [SECTION.key=value ...]
 
 The config must describe the SAME architecture the checkpoint was
-trained with (arch/num_stacks/num_blocks/mobile/skip_mode/joints) —
-a mismatch fails loudly with a tree diff, never a silent partial load.
+trained with (arch/num_stacks/num_blocks/mobile/skip_mode/joints;
+for MSPN also MODEL.up_channel_num — the decoder width the reference
+factory overloads `num_blocks` for, mspn.py:310) — a mismatch fails
+loudly with a tree diff, never a silent partial load.
 """
 
 import argparse
