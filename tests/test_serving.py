@@ -91,6 +91,49 @@ def test_microbatcher_backpressure_and_shedding():
     assert mb.n_frames == 3               # 1 first + 2 surviving queued
 
 
+def test_microbatcher_survives_concurrent_cancel_storm():
+    """Race-class regression (round 3): cancels arriving in the window
+    between dequeue and result fan-out must neither poison batchmates
+    with InvalidStateError nor kill the worker thread. Futures are
+    claimed RUNNING at dequeue, so every submit here either resolves
+    with its correct value or was cancelled while still queued."""
+    def infer(batch):
+        time.sleep(0.002)
+        return batch.astype(np.float32).sum(axis=(1, 2, 3))
+
+    mb = MicroBatcher(infer, batch_size=4, frame_shape=(2, 2, 1),
+                      max_wait_ms=1.0, max_queue=10_000)
+    rng = np.random.RandomState(0)
+    results = []
+
+    def client(seed):
+        r = np.random.RandomState(seed)
+        for i in range(25):
+            frame = r.randint(0, 255, (2, 2, 1), np.uint8)
+            fut = mb.submit(frame)
+            if r.rand() < 0.4:
+                fut.cancel()            # any moment: queued or claimed
+            try:
+                got = fut.result(timeout=30)
+                results.append(float(got) == float(frame.sum()))
+            except Exception:           # CancelledError only
+                pass
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(8)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        assert all(results) and results          # correct, some resolved
+        assert mb._worker.is_alive()             # the race never kills it
+        # worker still serves new requests after the storm
+        assert float(mb.submit(np.ones((2, 2, 1), np.uint8))
+                     .result(timeout=30)) == 4.0
+    finally:
+        mb.close()
+
+
 def _post_npy(base, frame, timeout=30):
     buf = io.BytesIO()
     np.save(buf, frame)
