@@ -398,3 +398,35 @@ def test_estimator_runs_mspn():
         0, 255, (120, 160, 3))).astype(np.uint8)
     kps = est.run(frame, time_it=False)
     assert kps.shape == (16, 2)
+
+
+def test_mspn_export_stablehlo_roundtrip(tmp_path):
+    """The export/deploy surface works for arch=mspn too: fold_bn is
+    structural (walks batch_stats), decode consumes the last stage's
+    finest head, and the artifact round-trips through StableHLO."""
+    from hourglass_pose_estimation_tpu.models import MSPN
+    from hourglass_pose_estimation_tpu.export import (
+        export_stablehlo, load_stablehlo, fold_batchnorm)
+    model = MSPN(num_stacks=1, num_classes=4, out_res=16,
+                 up_channel_num=64, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).normal(
+        size=(1, 64, 64, 3)).astype(np.float32))
+    init = model.init(jax.random.PRNGKey(0), x, train=False)
+    # one train-mode pass makes the running statistics non-trivial
+    _, mutated = model.apply(init, x, train=True, mutable=['batch_stats'])
+    variables = {'params': init['params'],
+                 'batch_stats': mutated['batch_stats']}
+    ref_all = np.asarray(model.apply(variables, x, train=False))
+    # folding is the identity up to f32 reassociation; the untrained
+    # net's activations reach O(300), so bound the error relative to
+    # the output magnitude rather than elementwise
+    folded = fold_batchnorm(variables)
+    got_all = np.asarray(model.apply(folded, x, train=False))
+    scale = np.abs(ref_all).max()
+    assert np.abs(got_all - ref_all).max() <= 2e-3 * scale
+    path = export_stablehlo(model, variables, (1, 64, 64, 3),
+                            str(tmp_path / 'mspn.stablehlo'), fold_bn=True)
+    out = np.asarray(load_stablehlo(path)(x))
+    ref = ref_all[-1]
+    assert out.shape == ref.shape == (1, 16, 16, 4)
+    assert np.abs(out - ref).max() <= 2e-3 * np.abs(ref).max()
