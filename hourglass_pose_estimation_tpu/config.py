@@ -113,6 +113,13 @@ class TrainConfig:
     # BN batch statistics from the first k samples only (0 = full batch,
     # exact reference parity; see models/norm.py ghost-stat BN)
     bn_stat_samples: int = 0
+    # freeze BatchNorm from this epoch on (0 = never): the train forward
+    # switches to running-average statistics and stat updates stop — a
+    # documented deviation (the reference always uses model.train()'s
+    # batch stats, /root/reference/src/runner/trainer.py:83). Removes
+    # the BN statistic reductions (~34 ms) + train-mode BN math (~8 ms)
+    # from the v5e step; standard practice once the LR has decayed.
+    freeze_bn_after_epoch: int = 0
 
     def __post_init__(self):
         if self.precision not in ('bf16', 'f32'):

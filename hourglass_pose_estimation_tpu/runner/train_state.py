@@ -86,7 +86,8 @@ def _select_subset(target, tw, subset):
     return target[..., idx], tw[:, idx]
 
 
-def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
+def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True,
+                    freeze_bn=False):
     """Build the jitted train step.
 
     The returned function signature:
@@ -94,6 +95,12 @@ def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
         raw_batch from `PoseDataset.canvas_batch`
       host pipeline:   (state, batch, rng) -> (state, metrics)
         batch with 'image' (normalized), 'target', 'target_weight'.
+
+    freeze_bn=True: the forward normalizes with the RUNNING BatchNorm
+    averages (train=False apply — BN is this model's only train/eval
+    difference) and the statistics stop updating. Used by the Trainer
+    past TRAIN.freeze_bn_after_epoch; drops the BN statistic reductions
+    and train-mode BN math from the step.
     """
     subset_t = tuple(subset) if subset is not None else None
 
@@ -111,6 +118,12 @@ def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True):
         target, tw = _select_subset(target, tw, subset_t)
 
         def loss_fn(params):
+            if freeze_bn:
+                outs = state.apply_fn(
+                    {'params': params, 'batch_stats': state.batch_stats},
+                    image, train=False)
+                return heatmap_mse_loss(outs, target, tw), (
+                    outs, state.batch_stats)
             outs, mutated = state.apply_fn(
                 {'params': params, 'batch_stats': state.batch_stats},
                 image, train=True, mutable=['batch_stats'])

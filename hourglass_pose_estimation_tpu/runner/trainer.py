@@ -186,6 +186,17 @@ class Trainer:
             self.train_step = make_train_step(
                 self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
                 device_pipeline=dc.device_pipeline)
+        # late-training frozen BN (TRAIN.freeze_bn_after_epoch): a second
+        # jitted step whose forward uses running-average statistics.
+        # Standard-path only; built lazily (compiles only if reached).
+        self.freeze_bn_after = (
+            tc.freeze_bn_after_epoch
+            if self.pp == 1 and not tc.explicit_collectives else 0)
+        if tc.freeze_bn_after_epoch and self.freeze_bn_after == 0:
+            raise ValueError('TRAIN.freeze_bn_after_epoch is only '
+                             'supported on the standard (non-pipeline, '
+                             'implicit-collectives) path')
+        self._frozen_step = None
         self.eval_step = make_eval_step(
             self.spec, subset=mc.subset, pck_thr=cfg.common.pck,
             device_pipeline=dc.device_pipeline)
@@ -369,6 +380,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, rng):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
+        step_fn = self.train_step
+        if self.freeze_bn_after and epoch >= self.freeze_bn_after:
+            if self._frozen_step is None:
+                self._frozen_step = make_train_step(
+                    self.spec, subset=self.cfg.model.subset,
+                    pck_thr=self.cfg.common.pck,
+                    device_pipeline=self.device_pipeline, freeze_bn=True)
+                self._log(f'=> BatchNorm frozen (running averages) from '
+                          f'epoch {epoch + 1} on')
+            step_fn = self._frozen_step
         batches = self.train_loader.epoch_indices()[:self.steps_per_epoch]
         t0 = time.time()
         n_img = 0
@@ -400,7 +421,7 @@ class Trainer:
             incoming = (self._stage(raw), len(idx))
             if staged is not None:
                 dev, bs = staged
-                self.state, metrics = self.train_step(self.state, dev, rng)
+                self.state, metrics = step_fn(self.state, dev, rng)
                 step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
                 n_img += bs
                 i += 1
@@ -412,7 +433,7 @@ class Trainer:
             staged = incoming
         if staged is not None:
             dev, bs = staged
-            self.state, metrics = self.train_step(self.state, dev, rng)
+            self.state, metrics = step_fn(self.state, dev, rng)
             step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
             n_img += bs
         if not step_metrics:

@@ -189,3 +189,33 @@ def test_subset_selection():
     raw = ds.canvas_batch(list(range(8)), canvas=64)
     state, m = step(state, raw, jax.random.PRNGKey(1))
     assert np.isfinite(float(m['loss']))
+
+
+def test_frozen_bn_step_matches_eval_forward():
+    """freeze_bn=True: forward uses running averages (== eval-mode
+    apply), batch_stats never change, params still train."""
+    ds, spec, model, state = _tiny_setup()
+    step = make_train_step(spec, device_pipeline=True, freeze_bn=True)
+    raw = ds.canvas_batch([0, 1, 2, 3], canvas=64)
+    stats_before = jax.tree.map(np.asarray, jax.device_get(state.batch_stats))
+    p_before = jax.tree.map(np.asarray, jax.device_get(state.params))
+
+    # oracle: eval-mode forward on the SAME augmented batch
+    from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
+    from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
+    rng = jax.random.PRNGKey(7)
+    data = augment_batch(raw, jax.random.fold_in(rng, state.step), spec, True)
+    outs = model.apply({'params': state.params,
+                        'batch_stats': state.batch_stats},
+                       data['image'], train=False)
+    ref_loss = float(heatmap_mse_loss(outs, data['target'],
+                                      data['target_weight']))
+
+    new_state, m = step(state, raw, rng)
+    np.testing.assert_allclose(float(m['loss']), ref_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_state.batch_stats),
+                    jax.tree.leaves(stats_before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    deltas = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                          jax.device_get(new_state.params), p_before)
+    assert max(jax.tree.leaves(deltas)) > 0
