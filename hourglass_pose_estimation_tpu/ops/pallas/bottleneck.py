@@ -1,0 +1,206 @@
+"""Pallas kernel: fully fused pre-activation bottleneck (affine BN).
+
+The hourglass hot block (`/root/reference/src/models/modules.py:27-47`:
+BN-ReLU-1x1 -> BN-ReLU-3x3 -> BN-ReLU-1x1 + identity residual) executed
+as ONE VMEM-resident kernel per image: the two intermediate activation
+tensors (h1: [H,W,P], h2: [H,W,P]) never round-trip to HBM, so the
+block's HBM traffic drops from ~5 tensors (XLA fuses BN/ReLU into conv
+epilogues but still materializes each conv's output) to exactly
+read-x + write-out.
+
+Scope (the measured hot case — every chain inside the hourglass plus
+the post-hourglass `res` blocks runs this shape):
+  * stride 1, identity residual (C_in == C_out == 2*planes),
+  * inference-mode/frozen BatchNorm, folded to per-channel affine
+    y = x * a + b with a = gamma/rsqrt(var+eps), b = beta - mean*a.
+    (Train-mode batch statistics need a cross-batch reduction that
+    breaks the per-image grid; the `TRAIN.freeze_bn_after_epoch` path
+    and all eval/serving forwards are affine-BN and can use this.)
+
+Compute mapping:
+  * 1x1 convs   -> [H*W, C] @ [C, P] MXU matmuls (f32 accumulate),
+  * 3x3 conv    -> 9 shifted-tap [H*W, P] @ [P, P] matmuls against a
+                   zero-padded copy of the mid activation (pad lives in
+                   VMEM; taps are static slices),
+  * BN+ReLU     -> VPU epilogues fused between the matmuls.
+
+Grid: (B,) — one image per program; at the 64x64x256 trunk shape the
+live set (x 2 MB bf16 + padded mid 1.1 MB + f32 accumulator 4 MB +
+weights 0.4 MB) sits comfortably in the ~16 MB VMEM budget, and Pallas
+double-buffers the next image's DMA under the current matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BottleneckParams(NamedTuple):
+    """Folded parameters of one pre-act bottleneck (affine BN)."""
+    a1: jax.Array   # [C]  bn1 scale
+    b1: jax.Array   # [C]  bn1 shift
+    w1: jax.Array   # [C, P]
+    c1: jax.Array   # [P]  conv1 bias
+    a2: jax.Array   # [P]
+    b2: jax.Array   # [P]
+    w2: jax.Array   # [3, 3, P, P]
+    c2: jax.Array   # [P]
+    a3: jax.Array   # [P]
+    b3: jax.Array   # [P]
+    w3: jax.Array   # [P, C]
+    c3: jax.Array   # [C]
+
+
+def fold_bn(gamma, beta, mean, var, eps=1e-5):
+    """BatchNorm(running stats) -> per-channel affine (a, b)."""
+    a = gamma / jnp.sqrt(var + eps)
+    return a, beta - mean * a
+
+
+def params_from_variables(block_vars, eps=1e-5, dtype=jnp.bfloat16):
+    """Flax Bottleneck variables -> BottleneckParams.
+
+    block_vars = {'params': {...}, 'batch_stats': {...}} for one
+    `models.modules.Bottleneck` (identity-residual, non-mobile).
+    """
+    p, s = block_vars['params'], block_vars['batch_stats']
+    a1, b1 = fold_bn(p['bn1']['scale'], p['bn1']['bias'],
+                     s['bn1']['mean'], s['bn1']['var'], eps)
+    a2, b2 = fold_bn(p['bn2']['scale'], p['bn2']['bias'],
+                     s['bn2']['mean'], s['bn2']['var'], eps)
+    a3, b3 = fold_bn(p['bn3']['scale'], p['bn3']['bias'],
+                     s['bn3']['mean'], s['bn3']['var'], eps)
+    return BottleneckParams(
+        a1=a1.astype(jnp.float32), b1=b1.astype(jnp.float32),
+        w1=p['conv1']['kernel'][0, 0].astype(dtype),
+        c1=p['conv1']['bias'].astype(jnp.float32),
+        a2=a2.astype(jnp.float32), b2=b2.astype(jnp.float32),
+        w2=p['conv2']['kernel'].astype(dtype),
+        c2=p['conv2']['bias'].astype(jnp.float32),
+        a3=a3.astype(jnp.float32), b3=b3.astype(jnp.float32),
+        w3=p['conv3']['kernel'][0, 0].astype(dtype),
+        c3=p['conv3']['bias'].astype(jnp.float32),
+    )
+
+
+def _kernel(x_ref, a1, b1, w1, c1, a2, b2, w2, c2, a3, b3, w3, c3,
+            out_ref, tp_ref):
+    """Row-chunked two-phase schedule: the whole-image single-pass
+    version allocates ~17 MB of stack at 64x64x256 (f32 intermediates
+    for 4096x256) and misses the 16 MB VMEM budget, so phase 1 streams
+    conv1 row-chunks into the padded-mid scratch and phase 2 streams
+    conv2+conv3+residual row-chunks out of it — peak live set ~12 MB
+    including the double-buffered in/out image blocks."""
+    H, W, C = x_ref.shape[1:]
+    P = w1.shape[1]
+    CH = min(H, 16)                       # rows per chunk
+
+    # the pad border of the scratch is written once (it is only ever
+    # read, never overwritten, by later programs)
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        tp_ref[:] = jnp.zeros_like(tp_ref)
+
+    # phase 1: BN1-affine -> ReLU -> 1x1 (MXU) -> BN2-affine -> ReLU
+    for r0 in range(0, H, CH):
+        xc = x_ref[0, r0:r0 + CH]                          # [CH, W, C]
+        t1 = jnp.maximum(xc.astype(jnp.float32) * a1[:] + b1[:], 0.0)
+        h1 = jnp.dot(t1.reshape(CH * W, C).astype(xc.dtype), w1[:],
+                     preferred_element_type=jnp.float32) + c1[:]
+        t2 = jnp.maximum(h1.reshape(CH, W, P) * a2[:] + b2[:], 0.0)
+        tp_ref[1 + r0:1 + r0 + CH, 1:1 + W] = t2.astype(xc.dtype)
+
+    # phase 2: conv2 3x3 (9 shifted-tap matmuls) -> BN3-affine -> ReLU
+    #          -> 1x1 -> + identity residual
+    for r0 in range(0, H, CH):
+        acc = jnp.zeros((CH * W, P), jnp.float32)
+        for dy in range(3):
+            rows = tp_ref[r0 + dy:r0 + dy + CH]            # [CH, W+2, P]
+            for dx in range(3):
+                tap = rows[:, dx:dx + W, :].reshape(CH * W, P)
+                acc = acc + jnp.dot(tap, w2[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        h2 = acc + c2[:]
+        t3 = jnp.maximum(h2 * a3[:] + b3[:], 0.0)
+        xc = x_ref[0, r0:r0 + CH]
+        h3 = jnp.dot(t3.astype(xc.dtype).reshape(CH * W, P), w3[:],
+                     preferred_element_type=jnp.float32) + c3[:]
+        out_ref[0, r0:r0 + CH] = (h3.astype(xc.dtype).reshape(CH, W, C)
+                                  + xc)
+
+
+def fused_bottleneck_pallas(x: jax.Array, params: BottleneckParams,
+                            interpret: bool = False) -> jax.Array:
+    """Fused pre-act bottleneck forward. x: [B, H, W, C] (bf16/f32),
+    identity residual (params.w3 maps P -> C == x channels)."""
+    B, H, W, C = x.shape
+    P = params.w1.shape[1]
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    vec = lambda n: rep((n,))
+    flops = B * H * W * 2 * (C * P * 2 + 9 * P * P)
+    return pl.pallas_call(
+        _kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C), rep((C, P)), vec(P),
+            vec(P), vec(P), rep((3, 3, P, P)), vec(P),
+            vec(P), vec(P), rep((P, C)), vec(C),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, P), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, *params)
+
+
+def bottleneck_reference(x: jax.Array,
+                         params: BottleneckParams) -> jax.Array:
+    """The same affine-BN bottleneck as plain XLA ops (the in-model
+    computation this kernel replaces; also the parity oracle)."""
+    f32 = jnp.float32
+    t1 = jnp.maximum(x.astype(f32) * params.a1 + params.b1, 0.0)
+    h1 = jax.lax.conv_general_dilated(
+        t1.astype(x.dtype), params.w1[None, None].astype(x.dtype),
+        (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=f32) + params.c1
+    t2 = jnp.maximum(h1 * params.a2 + params.b2, 0.0)
+    h2 = jax.lax.conv_general_dilated(
+        t2.astype(x.dtype), params.w2.astype(x.dtype),
+        (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=f32) + params.c2
+    t3 = jnp.maximum(h2 * params.a3 + params.b3, 0.0)
+    h3 = jax.lax.conv_general_dilated(
+        t3.astype(x.dtype), params.w3[None, None].astype(x.dtype),
+        (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=f32) + params.c3
+    return h3.astype(x.dtype) + x
+
+
+def random_params(key, c: int, p: int, dtype=jnp.bfloat16,
+                  scale=0.05) -> BottleneckParams:
+    ks = jax.random.split(key, 12)
+    n = lambda k, shape, s=scale: s * jax.random.normal(k, shape,
+                                                        jnp.float32)
+    return BottleneckParams(
+        a1=1.0 + n(ks[0], (c,)), b1=n(ks[1], (c,)),
+        w1=n(ks[2], (c, p)).astype(dtype), c1=n(ks[3], (p,)),
+        a2=1.0 + n(ks[4], (p,)), b2=n(ks[5], (p,)),
+        w2=n(ks[6], (3, 3, p, p)).astype(dtype), c2=n(ks[7], (p,)),
+        a3=1.0 + n(ks[8], (p,)), b3=n(ks[9], (p,)),
+        w3=n(ks[10], (p, c)).astype(dtype), c3=n(ks[11], (c,)),
+    )

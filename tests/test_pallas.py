@@ -97,3 +97,34 @@ def test_maxpool_kernel_grads(rng):
     gt = jax.grad(lambda x: jnp.sum(maxpool2x2_pallas(x, True)))(xt)
     np.testing.assert_allclose(np.asarray(gt).sum(), 2 * 2 * 128)
     np.testing.assert_allclose(np.asarray(gt), 0.25)
+
+
+def test_fused_bottleneck_matches_xla(rng):
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        fused_bottleneck_pallas, bottleneck_reference, random_params)
+    x = jnp.asarray(rng.normal(size=(2, 32, 16, 32)).astype(np.float32))
+    params = random_params(jax.random.PRNGKey(0), 32, 16, dtype=jnp.float32)
+    ref = bottleneck_reference(x, params)
+    got = fused_bottleneck_pallas(x, params, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bottleneck_matches_flax_block(rng):
+    """The kernel must reproduce the actual model block (eval mode):
+    fold a trained-ish flax Bottleneck's variables and compare."""
+    from hourglass_pose_estimation_tpu.models.modules import Bottleneck
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        fused_bottleneck_pallas, params_from_variables)
+    blk = Bottleneck(planes=16, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+    # make the running stats non-trivial
+    _, mut = blk.apply(variables, x, train=True, mutable=['batch_stats'])
+    variables = {'params': variables['params'],
+                 'batch_stats': mut['batch_stats']}
+    ref = blk.apply(variables, x, train=False)
+    p = params_from_variables(variables, dtype=jnp.float32)
+    got = fused_bottleneck_pallas(x, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
