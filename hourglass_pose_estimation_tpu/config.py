@@ -78,6 +78,11 @@ class ModelConfig:
     # is explicit so reference MSPN checkpoints of any width import.
     # arch=hg rejects non-default values rather than ignore them.
     up_channel_num: int = 256
+    # arch=hg only: run eligible bottlenecks as ONE Pallas kernel on any
+    # running-average-BN forward (eval, estimate, export, and the
+    # frozen-BN train phase); numerically equivalent fused compute path
+    # (models/modules.py Bottleneck.fuse_block, ops/pallas/bottleneck.py)
+    fuse_block: bool = False
 
     def __post_init__(self):
         if self.skip_mode not in ('sum', 'concat'):

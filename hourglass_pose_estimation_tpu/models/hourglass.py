@@ -41,6 +41,10 @@ class HourglassNet(nn.Module):
     out_dtype: Any = jnp.float32
     # route decoder merges through the Pallas fused upsample+add kernel
     fuse_upsample: bool = False
+    # run eligible bottlenecks as ONE Pallas kernel whenever BN uses
+    # running averages (eval / export / serving / frozen-BN training);
+    # see models/modules.py Bottleneck.fuse_block
+    fuse_block: bool = False
     # rematerialize each hourglass in the backward pass (trades ~1/3
     # extra forward FLOPs for activation memory)
     remat: bool = False
@@ -73,7 +77,8 @@ class HourglassNet(nn.Module):
         bneck = lambda planes, name: Bottleneck(
             planes, mobile=self.mobile, dtype=dt,
             bn_stat_samples=self.bn_stat_samples,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name,
+            fuse_block=self.fuse_block, name=name)
         x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = bneck(128, 'layer2')(x, train=train)
@@ -89,12 +94,14 @@ class HourglassNet(nn.Module):
             y = HG(self.num_feats, depth=4, num_blocks=self.num_blocks,
                    mobile=self.mobile, skip_mode=self.skip_mode,
                    dtype=dt, fuse_upsample=self.fuse_upsample,
+                   fuse_block=self.fuse_block,
                    bn_stat_samples=self.bn_stat_samples,
                    bn_axis_name=self.bn_axis_name,
                    name=f'hg{i}')(x, train)
             y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
                               dt, bn_stat_samples=self.bn_stat_samples,
                               bn_axis_name=self.bn_axis_name,
+                              fuse_block=self.fuse_block,
                               name=f'res{i}')(y, train=train)
             y = conv1x1(ch, f'fc{i}')(y)
             y = BatchNorm(use_running_average=not train, momentum=0.9,
@@ -127,6 +134,8 @@ class HourglassStem(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0
     bn_axis_name: str = None
+    bn_fast_variance: bool = True
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -138,12 +147,15 @@ class HourglassStem(nn.Module):
         x = BatchNorm(use_running_average=not train, momentum=0.9,
                       epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                       stat_samples=self.bn_stat_samples,
-                      axis_name=self.bn_axis_name, name='bn1')(x)
+                      axis_name=self.bn_axis_name,
+                      fast_variance=self.bn_fast_variance, name='bn1')(x)
         x = nn.relu(x).astype(dt)
         bneck = lambda planes, name: Bottleneck(
             planes, mobile=self.mobile, dtype=dt,
             bn_stat_samples=self.bn_stat_samples,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name,
+            bn_fast_variance=self.bn_fast_variance,
+            fuse_block=self.fuse_block, name=name)
         x = bneck(64, 'layer1')(x, train=train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = bneck(128, 'layer2')(x, train=train)
@@ -167,10 +179,17 @@ class HourglassStack(nn.Module):
     num_classes: int = 16
     mobile: bool = False
     skip_mode: str = 'sum'
+    # production parity is depth 4 (the reference hardcodes it); smaller
+    # depths are legitimate model configs and give numerically
+    # well-conditioned parity fixtures (depth 4's 1x1 bottom level makes
+    # train-mode BN chaotically sensitive at tiny microbatch sizes)
+    depth: int = 4
     dtype: Any = jnp.bfloat16
     out_dtype: Any = jnp.float32
     bn_stat_samples: int = 0
     bn_axis_name: str = None
+    bn_fast_variance: bool = True
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -179,20 +198,26 @@ class HourglassStack(nn.Module):
         conv1x1 = lambda feats, name: nn.Conv(
             feats, (1, 1), use_bias=True, dtype=dt,
             param_dtype=jnp.float32, name=name)
-        y = Hourglass(self.num_feats, depth=4, num_blocks=self.num_blocks,
+        y = Hourglass(self.num_feats, depth=self.depth,
+                      num_blocks=self.num_blocks,
                       mobile=self.mobile, skip_mode=self.skip_mode,
                       dtype=dt, bn_stat_samples=self.bn_stat_samples,
                       bn_axis_name=self.bn_axis_name,
+                      bn_fast_variance=self.bn_fast_variance,
+                      fuse_block=self.fuse_block,
                       name='hg')(x, train)
         y = ResidualChain(self.num_feats, self.num_blocks, self.mobile,
                           dt, bn_stat_samples=self.bn_stat_samples,
                           bn_axis_name=self.bn_axis_name,
+                          bn_fast_variance=self.bn_fast_variance,
+                          fuse_block=self.fuse_block,
                           name='res')(y, train=train)
         y = conv1x1(ch, 'fc')(y)
         y = BatchNorm(use_running_average=not train, momentum=0.9,
                       epsilon=1e-5, dtype=jnp.promote_types(jnp.float32, dt),
                       stat_samples=self.bn_stat_samples,
-                      axis_name=self.bn_axis_name, name='fc_bn')(y)
+                      axis_name=self.bn_axis_name,
+                      fast_variance=self.bn_fast_variance, name='fc_bn')(y)
         y = nn.relu(y).astype(dt)
         score = conv1x1(self.num_classes, 'score')(y)
         fc_b = conv1x1(ch, 'fc_back')(y)
@@ -220,6 +245,7 @@ def hg(**kwargs):
         remat=kwargs.get('remat', False),
         bn_stat_samples=kwargs.get('bn_stat_samples', 0),
         bn_axis_name=kwargs.get('bn_axis_name', None),
+        fuse_block=kwargs.get('fuse_block', False),
     )
 
 

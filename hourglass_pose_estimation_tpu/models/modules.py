@@ -62,16 +62,39 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0    # 0 = full-batch BN statistics (parity)
     bn_axis_name: str = None    # cross-shard BN stat sync (norm.py)
+    bn_fast_variance: bool = True  # False = two-pass variance (norm.py)
+    # run the whole block as ONE Pallas kernel (ops/pallas/bottleneck.py)
+    # when BN uses running averages (train=False apply — eval, export,
+    # serving, and the frozen-BN train step): the two intermediate conv
+    # activations stay VMEM-resident. Identity-residual stride-1
+    # non-mobile blocks only; others fall through to the standard path.
+    fuse_block: bool = False
+    # fuse only at spatial sizes >= this (tiny 4x4/8x8 grids pay more in
+    # per-program overhead than they save in HBM traffic)
+    fuse_min_hw: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
         c_out = self.planes * EXPANSION
+        if (self.fuse_block and not train and not self.is_initializing()
+                and self.stride == 1 and c_in == c_out and not self.mobile
+                and min(x.shape[1], x.shape[2]) >= self.fuse_min_hw):
+            from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+                fused_bottleneck, params_from_variables)
+            import jax as _jax
+            prm = params_from_variables(
+                {'params': self.variables['params'],
+                 'batch_stats': self.variables['batch_stats']},
+                dtype=self.dtype)
+            return fused_bottleneck(x.astype(self.dtype), prm,
+                                    _jax.default_backend() != 'tpu')
         norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.promote_types(jnp.float32, self.dtype),
             stat_samples=self.bn_stat_samples,
-            axis_name=self.bn_axis_name, name=name)
+            axis_name=self.bn_axis_name,
+            fast_variance=self.bn_fast_variance, name=name)
         conv = lambda feats, k, s, groups, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             feature_group_count=groups, use_bias=True,
@@ -97,6 +120,8 @@ class ResidualChain(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_stat_samples: int = 0
     bn_axis_name: str = None
+    bn_fast_variance: bool = True
+    fuse_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,6 +129,8 @@ class ResidualChain(nn.Module):
             x = Bottleneck(self.planes, mobile=self.mobile, dtype=self.dtype,
                            bn_stat_samples=self.bn_stat_samples,
                            bn_axis_name=self.bn_axis_name,
+                           bn_fast_variance=self.bn_fast_variance,
+                           fuse_block=self.fuse_block,
                            name=f'block{i}')(x, train=train)
         return x
 
@@ -126,8 +153,11 @@ class Hourglass(nn.Module):
     # use the Pallas fused nearest-upsample+skip-add kernel for the
     # decoder merge (sum mode only; TPU backend only)
     fuse_upsample: bool = False
+    # use the Pallas fused bottleneck for running-average-BN forwards
+    fuse_block: bool = False
     bn_stat_samples: int = 0
     bn_axis_name: str = None
+    bn_fast_variance: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -135,7 +165,9 @@ class Hourglass(nn.Module):
         chain = lambda name: ResidualChain(
             self.planes, self.num_blocks, self.mobile, self.dtype,
             bn_stat_samples=self.bn_stat_samples,
-            bn_axis_name=self.bn_axis_name, name=name)
+            bn_axis_name=self.bn_axis_name,
+            bn_fast_variance=self.bn_fast_variance,
+            fuse_block=self.fuse_block, name=name)
 
         # Encoder: at each level n = depth..1, the skip branch hg[n-1][0]
         # sees the pre-pool features; the trunk is pooled then hg[n-1][1].

@@ -252,7 +252,7 @@ def mspn(**kwargs):
     # implement: reject non-default values instead of silently ignoring
     # them (a TRAIN.remat=True run must not proceed with full activation
     # memory while the user believes remat is on)
-    for opt in ('remat', 'bn_stat_samples', 'bn_axis_name'):
+    for opt in ('remat', 'bn_stat_samples', 'bn_axis_name', 'fuse_block'):
         if kwargs.get(opt):
             raise ValueError(f'arch=mspn does not support {opt}; '
                              f'got {opt}={kwargs[opt]!r}')

@@ -38,6 +38,14 @@ class BatchNorm(nn.Module):
     # of the shard means). Train-mode apply then requires the axis to
     # be bound (shard_map/pmap); eval mode never emits the collective.
     axis_name: Optional[str] = None
+    # fast_variance=True (default, flax use_fast_variance parity):
+    # var = E[x^2] - E[x]^2 in ONE pass over HBM. That formula is
+    # catastrophically cancelling when |mean| >> std — measured in the
+    # pipeline dryrun at the hourglass's 1x1 bottom levels with
+    # 2-sample microbatch statistics (f32 parity error 1e-2 -> 1e-6
+    # with the two-pass form). False = two-pass E[(x-mean)^2]; used by
+    # numerical-parity checks; incompatible with axis_name sync.
+    fast_variance: bool = True
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
@@ -65,12 +73,19 @@ class BatchNorm(nn.Module):
             xf = xs.astype(sdt)
             axes = tuple(range(xf.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
-            # fast variance: E[x^2] - E[x]^2 (flax use_fast_variance)
-            mean2 = jnp.mean(jnp.square(xf), axis=axes)
-            if self.axis_name is not None and not self.is_initializing():
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.fast_variance:
+                assert self.axis_name is None, (
+                    'fast_variance=False is a single-shard numerical-'
+                    'parity mode; axis_name sync needs the one-pass form')
+                var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            else:
+                # fast variance: E[x^2] - E[x]^2 (flax use_fast_variance)
+                mean2 = jnp.mean(jnp.square(xf), axis=axes)
+                if (self.axis_name is not None
+                        and not self.is_initializing()):
+                    mean = jax.lax.pmean(mean, self.axis_name)
+                    mean2 = jax.lax.pmean(mean2, self.axis_name)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean

@@ -168,6 +168,123 @@ def fused_bottleneck_pallas(x: jax.Array, params: BottleneckParams,
     )(x, *params)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_bottleneck(x: jax.Array, params: BottleneckParams,
+                     interpret: bool = False) -> jax.Array:
+    """Differentiable fused bottleneck: Pallas forward, XLA backward.
+
+    The backward recomputes the (cheap, VMEM-sized) activations through
+    `bottleneck_reference` and takes its VJP — rematerialization, so the
+    Pallas forward stores only `x` instead of three conv outputs. Grads
+    flow to x AND to every folded parameter (and through `fold_bn` /
+    `params_from_variables` on to gamma/beta/conv weights), which is
+    what the frozen-BN train step differentiates
+    (runner/train_state.py make_train_step(freeze_bn=True))."""
+    return fused_bottleneck_pallas(x, params, interpret=interpret)
+
+
+def _fused_fwd(x, params, interpret):
+    return fused_bottleneck_pallas(x, params, interpret=interpret), (x, params)
+
+
+def _fused_bwd(interpret, res, g):
+    x, params = res
+    return bottleneck_backward_reference(x, params, g)
+
+
+fused_bottleneck.defvjp(_fused_fwd, _fused_bwd)
+
+
+def bottleneck_backward_reference(x: jax.Array, params: BottleneckParams,
+                                  g: jax.Array):
+    """Explicit VJP of the affine-BN bottleneck: (dx, dparams).
+
+    Rematerializes the (VMEM-sized) activations from x and computes
+    every gradient with dtype-consistent convs/matmuls — bf16 operands,
+    f32 accumulation — because `jax.vjp(bottleneck_reference)` is not
+    transposable under mixed bf16/f32 `preferred_element_type` (the
+    cotangents arrive f32 against bf16 weights). This is also the exact
+    op schedule a Pallas backward kernel would implement.
+
+    ReLU subgradient at 0 is taken as 0 (masks are `u > 0`)."""
+    f32 = jnp.float32
+    xd = x.dtype
+    p = params
+    B, H, W, C = x.shape
+    P = p.w1.shape[1]
+    dn = ('NHWC', 'HWIO', 'NHWC')
+
+    # --- recompute forward activations (cheap, no h3/y needed)
+    xf = x.astype(f32)
+    t1f = jnp.maximum(xf * p.a1 + p.b1, 0.0)
+    t1 = t1f.astype(xd)
+    h1 = jax.lax.conv_general_dilated(
+        t1, p.w1[None, None].astype(xd), (1, 1), 'SAME',
+        dimension_numbers=dn, preferred_element_type=f32) + p.c1
+    u2 = h1 * p.a2 + p.b2
+    t2 = jnp.maximum(u2, 0.0).astype(xd)
+    h2 = jax.lax.conv_general_dilated(
+        t2, p.w2.astype(xd), (1, 1), 'SAME',
+        dimension_numbers=dn, preferred_element_type=f32) + p.c2
+    u3 = h2 * p.a3 + p.b3
+    t3 = jnp.maximum(u3, 0.0).astype(xd)
+
+    mm = lambda a, b: jnp.dot(a.reshape(-1, a.shape[-1]).T,
+                              b.reshape(-1, b.shape[-1]),
+                              preferred_element_type=f32)
+    # --- conv3 (1x1, P->C) and bn3
+    gf = g.astype(f32)
+    gc = g.astype(xd)
+    dw3 = mm(t3, gc)                                           # [P, C]
+    dc3 = jnp.sum(gf, axis=(0, 1, 2))
+    dt3 = jnp.dot(gc.reshape(-1, C), p.w3.astype(xd).T,
+                  preferred_element_type=f32).reshape(B, H, W, P)
+    du3 = jnp.where(u3 > 0, dt3, 0.0)
+    da3 = jnp.sum(du3 * h2, axis=(0, 1, 2))
+    db3 = jnp.sum(du3, axis=(0, 1, 2))
+    dh2 = du3 * p.a3
+
+    # --- conv2 (3x3, P->P) and bn2
+    dh2c = dh2.astype(xd)
+    t2p = jnp.pad(t2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw2 = jnp.stack([
+        jnp.stack([mm(t2p[:, ky:ky + H, kx:kx + W, :], dh2c)
+                   for kx in range(3)])
+        for ky in range(3)])                                   # [3,3,P,P]
+    dc2 = jnp.sum(dh2, axis=(0, 1, 2))
+    # transpose conv: correlation with the spatially-flipped,
+    # in/out-transposed kernel
+    w2t = p.w2[::-1, ::-1].transpose(0, 1, 3, 2).astype(xd)
+    dt2 = jax.lax.conv_general_dilated(
+        dh2c, w2t, (1, 1), 'SAME', dimension_numbers=dn,
+        preferred_element_type=f32)
+    du2 = jnp.where(u2 > 0, dt2, 0.0)
+    da2 = jnp.sum(du2 * h1, axis=(0, 1, 2))
+    db2 = jnp.sum(du2, axis=(0, 1, 2))
+    dh1 = du2 * p.a2
+
+    # --- conv1 (1x1, C->P) and bn1
+    dh1c = dh1.astype(xd)
+    dw1 = mm(t1, dh1c)                                         # [C, P]
+    dc1 = jnp.sum(dh1, axis=(0, 1, 2))
+    dt1 = jnp.dot(dh1c.reshape(-1, P), p.w1.astype(xd).T,
+                  preferred_element_type=f32).reshape(B, H, W, C)
+    du1 = jnp.where(t1f > 0, dt1, 0.0)
+    da1 = jnp.sum(du1 * xf, axis=(0, 1, 2))
+    db1 = jnp.sum(du1, axis=(0, 1, 2))
+    dx = (du1 * p.a1 + gf).astype(xd)
+
+    cast = lambda v, like: v.astype(like.dtype)
+    dparams = BottleneckParams(
+        a1=cast(da1, p.a1), b1=cast(db1, p.b1),
+        w1=cast(dw1, p.w1), c1=cast(dc1, p.c1),
+        a2=cast(da2, p.a2), b2=cast(db2, p.b2),
+        w2=cast(dw2, p.w2), c2=cast(dc2, p.c2),
+        a3=cast(da3, p.a3), b3=cast(db3, p.b3),
+        w3=cast(dw3, p.w3), c3=cast(dc3, p.c3))
+    return dx, dparams
+
+
 def bottleneck_reference(x: jax.Array,
                          params: BottleneckParams) -> jax.Array:
     """The same affine-BN bottleneck as plain XLA ops (the in-model

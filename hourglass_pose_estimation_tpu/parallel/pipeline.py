@@ -203,8 +203,10 @@ def _build_pipeline_step(stem, stack, mesh: Mesh, *, num_microbatches,
                 return (x_next, loss_acc, acc_acc, stem_st, stk_st), None
 
             x0 = jnp.zeros(feat_shape, feat_dtype)
-            carry0 = (x0, jnp.zeros((), jnp.float32),
-                      jnp.zeros((), jnp.float32),
+            # accumulate in >= f32 (f64 when a numerical-parity caller
+            # runs the whole pipeline in float64)
+            ldt = jnp.promote_types(jnp.float32, feat_dtype)
+            carry0 = (x0, jnp.zeros((), ldt), jnp.zeros((), ldt),
                       state.stem_stats, state.stacked_stats)
             (xf, loss, acc, stem_st, stk_st), _ = jax.lax.scan(
                 tick, carry0, jnp.arange(T))

@@ -61,7 +61,8 @@ class Estimator:
                                num_blocks=mc.num_blocks,
                                num_classes=num_classes, mobile=mc.mobile,
                                skip_mode=mc.skip_mode, out_res=cc.out_res,
-                               up_channel_num=mc.up_channel_num)
+                               up_channel_num=mc.up_channel_num,
+                               fuse_block=mc.fuse_block)
         self.input_size = (cc.in_res, cc.in_res)
         self.threshold = 0.02
         stats = ESTIMATOR_MEANSTD if strict_reference_stats else None

@@ -69,7 +69,8 @@ class Trainer:
                                up_channel_num=mc.up_channel_num,
                                dtype=dtype, remat=tc.remat,
                                bn_stat_samples=tc.bn_stat_samples,
-                               bn_axis_name=bn_axis)
+                               bn_axis_name=bn_axis,
+                               fuse_block=mc.fuse_block)
 
         ds_kwargs = dict(image_path=dc.image_path,
                          annotation_path=dc.annotation_path,

@@ -35,7 +35,8 @@ def main(argv):
                       num_classes=num_classes, mobile=cfg.model.mobile,
                       skip_mode=cfg.model.skip_mode,
                       out_res=cfg.dataset.out_res,
-                      up_channel_num=cfg.model.up_channel_num)
+                      up_channel_num=cfg.model.up_channel_num,
+                      fuse_block=cfg.model.fuse_block)
 
     if not (cfg.common.resume and os.path.exists(cfg.common.resume)):
         raise FileNotFoundError("Checkpoint doesn't exist: "

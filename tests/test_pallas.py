@@ -128,3 +128,128 @@ def test_fused_bottleneck_matches_flax_block(rng):
     got = fused_bottleneck_pallas(x, p, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bottleneck_fuse_block_forward_and_grad(rng):
+    """Bottleneck(fuse_block=True) engages the Pallas kernel on
+    running-average-BN forwards and is differentiable (custom VJP with
+    rematerialized XLA backward) — the frozen-BN train contract."""
+    from hourglass_pose_estimation_tpu.models.modules import Bottleneck
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    ref_blk = Bottleneck(planes=16, dtype=jnp.float32)
+    fused_blk = Bottleneck(planes=16, dtype=jnp.float32, fuse_block=True)
+    variables = ref_blk.init(jax.random.PRNGKey(0), x, train=True)
+    _, mut = ref_blk.apply(variables, x, train=True, mutable=['batch_stats'])
+    variables = {'params': variables['params'],
+                 'batch_stats': mut['batch_stats']}
+
+    ref = ref_blk.apply(variables, x, train=False)
+    got = fused_blk.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(blk):
+        def f(params, x):
+            out = blk.apply({'params': params,
+                             'batch_stats': variables['batch_stats']},
+                            x, train=False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    gr_p, gr_x = jax.grad(loss(ref_blk), argnums=(0, 1))(
+        variables['params'], x)
+    gf_p, gf_x = jax.grad(loss(fused_blk), argnums=(0, 1))(
+        variables['params'], x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gf_p), jax.tree.leaves(gr_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bottleneck_fuse_block_gating(rng):
+    """Fusion must NOT engage in train mode (batch-stat BN), on strided
+    / channel-changing blocks, or below fuse_min_hw — those fall back to
+    the standard path bit-for-bit."""
+    from hourglass_pose_estimation_tpu.models.modules import Bottleneck
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    for kw, xx in [
+            (dict(planes=16), x),                      # train=True below
+            (dict(planes=8), x),                       # projection shortcut
+            (dict(planes=16, stride=2), x),            # strided
+            (dict(planes=16, fuse_min_hw=32), x),      # too small
+    ]:
+        ref_blk = Bottleneck(dtype=jnp.float32, **kw)
+        fused_blk = Bottleneck(dtype=jnp.float32, fuse_block=True, **kw)
+        variables = ref_blk.init(jax.random.PRNGKey(0), xx, train=True)
+        train = kw == dict(planes=16)
+        r = ref_blk.apply(variables, xx, train=train,
+                          mutable=['batch_stats'] if train else False)
+        f = fused_blk.apply(variables, xx, train=train,
+                            mutable=['batch_stats'] if train else False)
+        for a, b in zip(jax.tree.leaves(r), jax.tree.leaves(f)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hourglassnet_fuse_block_eval_parity(rng):
+    """Full HourglassNet with fuse_block=True: eval forward matches the
+    standard path (only >=16px identity blocks fuse; the rest fall
+    through), exercising fused blocks inside the real architecture."""
+    from hourglass_pose_estimation_tpu.models import HourglassNet
+
+    kw = dict(num_stacks=1, num_blocks=1, num_classes=4,
+              num_feats=16, dtype=jnp.float32)
+    model = HourglassNet(**kw)
+    fused = HourglassNet(fuse_block=True, **kw)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    got = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_bottleneck_backward_reference_matches_vjp(rng):
+    """The explicit backward (used by fused_bottleneck's custom VJP and
+    the blueprint for a Pallas backward kernel) must equal jax.vjp of
+    the XLA reference in f32 (where the vjp is transposable)."""
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        bottleneck_reference, bottleneck_backward_reference, random_params)
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+    params = random_params(jax.random.PRNGKey(3), 32, 16, dtype=jnp.float32,
+                           scale=0.3)
+    _, vjp = jax.vjp(bottleneck_reference, x, params)
+    dx_ref, dp_ref = vjp(g)
+    dx, dp = bottleneck_backward_reference(x, params, g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(dp, dp_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bottleneck_grad_bf16():
+    """The custom VJP must work end-to-end in bf16 (the TPU train
+    dtype) — this is exactly where jax.vjp of the mixed-precision
+    reference fails to transpose."""
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        fused_bottleneck, random_params)
+
+    x = (0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+         ).astype(jnp.bfloat16)
+    params = random_params(jax.random.PRNGKey(1), 32, 16)
+
+    def loss(params, x):
+        return fused_bottleneck(x, params, True).astype(jnp.float32).sum()
+
+    l, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    assert np.isfinite(float(l))
+    assert gx.dtype == x.dtype
+    for a, b in zip(gp, params):
+        assert a.dtype == b.dtype and np.isfinite(
+            np.asarray(a, np.float32)).all()
+    assert float(jnp.abs(gx.astype(jnp.float32)).sum()) > 0
