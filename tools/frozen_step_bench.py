@@ -56,7 +56,8 @@ def time_train(step, state, raw, rng, iters, batch):
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, raw, rng)
-    assert float(metrics['loss']) > 0
+    loss = float(metrics['loss'])
+    assert loss > 0, f'non-positive/NaN loss after timing: {loss}'
     dt = time.perf_counter() - t0
     return dt / iters * 1e3, batch * iters / dt, state
 
@@ -69,10 +70,14 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=64)
     p.add_argument('--which', default='all',
                    choices=['all', 'train', 'eval'])
+    p.add_argument('--warm-steps', type=int, default=12)
+    p.add_argument('--only', default='',
+                   help='substring filter on variant names')
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from hourglass_pose_estimation_tpu.runner.train_state import (
         make_train_step, make_eval_step)
 
@@ -85,21 +90,31 @@ def main(argv=None):
         rows += [('train-standard', False, False),
                  ('train-frozen', True, False),
                  ('train-frozen-fused', True, True)]
-    spec = state = raw = None
+    if args.only:
+        rows = [r for r in rows if args.only in r[0]]
+    spec = state = raw = cur_fuse = None
     for name, freeze, fuse in rows:
         # fresh state per variant (the step donates its input), with one
         # standard step first so the frozen variants normalize with
         # sane running statistics (matching real freeze-after-epoch use)
         spec, state, raw = build(args.stacks, args.res, B, fuse)
+        cur_fuse = fuse
+        # warm the RUNNING BatchNorm statistics with standard steps first:
+        # frozen-BN normalizes with them, and at init they are the flax
+        # (0, 1) placeholders — an 8-stack bf16 forward overflows through
+        # unnormalized feedback sums. Real use (Trainer) freezes only
+        # after >=1 full epoch of standard training.
         warm = make_train_step(spec, device_pipeline=True)
-        state, _ = warm(state, raw, rng)
+        for i in range(args.warm_steps):
+            state, wm = warm(state, raw, jax.random.fold_in(rng, i))
+        assert np.isfinite(float(wm['loss'])), float(wm['loss'])
         step = make_train_step(spec, device_pipeline=True, freeze_bn=freeze)
         ms, img_s, state = time_train(step, state, raw, rng, args.iters, B)
         print(f'{name:22s} {ms:8.2f} ms/step  {img_s:8.1f} img/s')
 
     if args.which in ('all', 'eval'):
         for name, fuse in (('eval', False), ('eval-fused', True)):
-            if cur_fuse != fuse or spec is None:
+            if spec is None or cur_fuse != fuse:
                 spec, state, raw = build(args.stacks, args.res, B, fuse)
                 cur_fuse = fuse
             estep = make_eval_step(spec, device_pipeline=True)
