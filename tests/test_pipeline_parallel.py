@@ -96,6 +96,97 @@ def test_pipeline_matches_sequential_loss_and_grads():
         jax.tree.map(close, ref, got)
 
 
+def test_pipeline_train_mode_grads_match_sequential_f64():
+    """STRICT schedule invariant (the driver's multichip gate, promoted
+    here so it cannot rot unwatched): in train mode (per-microbatch BN
+    statistics) the pipelined loss and EVERY grad must equal a
+    sequential oracle that sees the identical microbatch slices.
+
+    Runs in float64 on a depth-2 stack: in f32 the comparison is
+    ill-conditioned, not the schedule — grads of scale ~1e-3 flowing
+    backward through 2-sample-microbatch BN amplify f32 roundoff to
+    1e-2..1e-1 relative (even between two orderings of the SAME
+    sequential program), while the identical f64 program agrees to
+    ~1e-12. f64 removes the conditioning noise so a <=1e-9 tolerance
+    pins the schedule itself.
+    """
+    dp2, pp = 2, 4
+    jax.config.update('jax_enable_x64', True)
+    try:
+        f64 = lambda t: jax.tree.map(lambda a: a.astype(jnp.float64), t)
+        stem = HourglassStem(num_feats=FEATS, dtype=jnp.float64,
+                             bn_fast_variance=False)
+        stack = HourglassStack(num_feats=FEATS, num_blocks=1,
+                               num_classes=J, depth=2,
+                               dtype=jnp.float64, out_dtype=jnp.float64,
+                               bn_fast_variance=False)
+        tx = make_optimizer(2.5e-3, [35], 0.1, 100, flat=False)
+        state = init_pipeline(stem, stack, jax.random.PRNGKey(0), S, tx,
+                              inp_res=RES)
+        state = state.replace(
+            stem_params=f64(state.stem_params),
+            stem_stats=f64(state.stem_stats),
+            stacked_params=f64(state.stacked_params),
+            stacked_stats=f64(state.stacked_stats))
+        images, target, tw = map(f64, _batch(jax.random.PRNGKey(1)))
+        # scale inputs so the feedback-accumulating stacks keep the
+        # losses O(1) (raw N(0,1) pushes them to O(1e5))
+        images = 0.05 * images
+
+        def loss_fn(stem_params, stacked_params):
+            # sequential oracle, microbatched exactly like the
+            # pipeline: per 'data' shard, M equal microbatches, BN
+            # normalizing each microbatch by its own statistics
+            shard = B // dp2
+            mb = shard // M
+            shard_losses = []
+            for d in range(dp2):
+                losses = []
+                for m in range(M):
+                    sl = slice(d * shard + m * mb,
+                               d * shard + (m + 1) * mb)
+                    x, _ = stem.apply(
+                        {'params': stem_params,
+                         'batch_stats': state.stem_stats},
+                        images[sl], train=True, mutable=['batch_stats'])
+                    scores = []
+                    for i in range(S):
+                        pv = jax.tree.map(lambda a: a[i], stacked_params)
+                        sv = jax.tree.map(lambda a: a[i],
+                                          state.stacked_stats)
+                        (score, x), _ = stack.apply(
+                            {'params': pv, 'batch_stats': sv},
+                            x, train=True, mutable=['batch_stats'])
+                        scores.append(score)
+                    losses.append(heatmap_mse_loss(
+                        jnp.stack(scores), target[sl], tw[sl]))
+                shard_losses.append(sum(losses) / M)
+            return sum(shard_losses) / dp2
+
+        ref_loss, (ref_gs, ref_gk) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(state.stem_params,
+                                     state.stacked_params)
+
+        mesh = _mesh()
+        step = make_pipeline_train_step(stem, stack, mesh,
+                                        num_microbatches=M, train=True,
+                                        update=False)
+        sstate = shard_pipeline_state(state, mesh)
+        _, metrics = step(sstate, images, target, tw)
+
+        assert abs(float(metrics['loss']) - float(ref_loss)) <= (
+            1e-9 * max(abs(float(ref_loss)), 1.0))
+        for ref, got in ((ref_gs, metrics['g_stem']),
+                         (ref_gk, metrics['g_stack'])):
+            for ra, ga in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+                ra, ga = np.asarray(ra), np.asarray(ga)
+                scale = max(float(np.abs(ra).max()), 1e-3)
+                rel = float(np.abs(ra - ga).max()) / scale
+                assert rel <= 1e-9, f'grad mismatch: rel err {rel:.2e}'
+    finally:
+        jax.config.update('jax_enable_x64', False)
+
+
 def test_pipeline_train_step_updates_params_and_stats():
     stem, stack = _modules()
     tx = make_optimizer(2.5e-3, [35], 0.1, 100, flat=False)
