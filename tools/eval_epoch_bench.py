@@ -13,7 +13,7 @@ the timed passes follow. `evaluate` itself ends in a host value fetch,
 so the timing is honestly bounded.
 
 Usage: python tools/eval_epoch_bench.py [--samples 256] [--batch 64]
-       [--stacks 8] [--res 256] [--fuse]
+       [--stacks 8] [--res 256]   (runs fuse_block False AND True)
 """
 
 import argparse

@@ -70,9 +70,18 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=64)
     p.add_argument('--which', default='all',
                    choices=['all', 'train', 'eval'])
-    p.add_argument('--warm-steps', type=int, default=12)
+    def positive_int(v):
+        n = int(v)
+        if n < 1:
+            # the frozen variants normalize with running BN statistics
+            # warmed by these steps; at the flax (0, 1) placeholders an
+            # 8-stack bf16 forward overflows
+            raise argparse.ArgumentTypeError('--warm-steps must be >= 1')
+        return n
+    p.add_argument('--warm-steps', type=positive_int, default=12)
     p.add_argument('--only', default='',
-                   help='substring filter on variant names')
+                   help='substring filter on variant names '
+                        '(train AND eval variants)')
     args = p.parse_args(argv)
 
     import jax
@@ -94,9 +103,7 @@ def main(argv=None):
         rows = [r for r in rows if args.only in r[0]]
     spec = state = raw = cur_fuse = None
     for name, freeze, fuse in rows:
-        # fresh state per variant (the step donates its input), with one
-        # standard step first so the frozen variants normalize with
-        # sane running statistics (matching real freeze-after-epoch use)
+        # fresh state per variant (the step donates its input)
         spec, state, raw = build(args.stacks, args.res, B, fuse)
         cur_fuse = fuse
         # warm the RUNNING BatchNorm statistics with standard steps first:
@@ -113,7 +120,10 @@ def main(argv=None):
         print(f'{name:22s} {ms:8.2f} ms/step  {img_s:8.1f} img/s')
 
     if args.which in ('all', 'eval'):
-        for name, fuse in (('eval', False), ('eval-fused', True)):
+        eval_rows = [('eval', False), ('eval-fused', True)]
+        if args.only:
+            eval_rows = [r for r in eval_rows if args.only in r[0]]
+        for name, fuse in eval_rows:
             if spec is None or cur_fuse != fuse:
                 spec, state, raw = build(args.stacks, args.res, B, fuse)
                 cur_fuse = fuse
