@@ -136,10 +136,127 @@ def _kernel(x_ref, a1, b1, w1, c1, a2, b2, w2, c2, a3, b3, w3, c3,
                                   + xc)
 
 
+def _kernel_chunked(nr, CH, x_ref, a1, b1, w1, c1, a2, b2, w2, c2,
+                    a3, b3, w3, c3, out_ref, tp_ref):
+    """Batched-grid single-phase schedule (round 5, VERDICT item 3):
+    grid (B, H/CH) — each program produces CH output rows, so output
+    DMAs pipeline at chunk granularity across images instead of the
+    whole-image two-phase barrier of `_kernel`. The 3x3 halo is handled
+    by RECOMPUTING conv1 for the one overlap row on each side (2/CH
+    extra 1x1-conv FLOPs) into a (CH+2)-row VMEM window, which keeps
+    the kernel one phase and the peak live set ~4 MB at 64x64x256
+    (vs 12 MB for the two-phase whole-image version)."""
+    H, W, C = x_ref.shape[1:]
+    P = w1.shape[1]
+    r = pl.program_id(1)
+    r0 = r * CH
+
+    def t2_of(xrows, R):
+        """BN1-affine -> ReLU -> 1x1 (MXU) -> BN2-affine -> ReLU."""
+        t1 = jnp.maximum(xrows.astype(jnp.float32) * a1[:] + b1[:], 0.0)
+        h1 = jnp.dot(t1.reshape(R * W, C).astype(xrows.dtype), w1[:],
+                     preferred_element_type=jnp.float32) + c1[:]
+        return jnp.maximum(h1.reshape(R, W, P) * a2[:] + b2[:],
+                           0.0).astype(xrows.dtype)
+
+    # fill the padded t2 window: scratch row j = t2 of image row
+    # r0-1+j (zero outside [0, H)); pad columns stay zero
+    tp_ref[:] = jnp.zeros_like(tp_ref)
+    if nr == 1:
+        tp_ref[1:CH + 1, 1:1 + W] = t2_of(x_ref[0], CH)
+    else:
+        @pl.when(r == 0)
+        def _():
+            tp_ref[1:CH + 2, 1:1 + W] = t2_of(x_ref[0, :CH + 1], CH + 1)
+
+        @pl.when(r == nr - 1)
+        def _():
+            tp_ref[:CH + 1, 1:1 + W] = t2_of(x_ref[0, H - CH - 1:], CH + 1)
+
+        @pl.when((r > 0) & (r < nr - 1))
+        def _():
+            rows = x_ref[0, pl.ds(r0 - 1, CH + 2)]
+            tp_ref[:CH + 2, 1:1 + W] = t2_of(rows, CH + 2)
+
+    # conv2 3x3 (9 shifted-tap matmuls) -> BN3-affine -> ReLU -> 1x1
+    # -> + identity residual
+    acc = jnp.zeros((CH * W, P), jnp.float32)
+    for dy in range(3):
+        rows = tp_ref[dy:dy + CH]                          # [CH, W+2, P]
+        for dx in range(3):
+            tap = rows[:, dx:dx + W, :].reshape(CH * W, P)
+            acc = acc + jnp.dot(tap, w2[dy, dx],
+                                preferred_element_type=jnp.float32)
+    h2 = acc + c2[:]
+    t3 = jnp.maximum(h2 * a3[:] + b3[:], 0.0)
+    xc = x_ref[0, pl.ds(r0, CH)]                           # [CH, W, C]
+    h3 = jnp.dot(t3.astype(xc.dtype).reshape(CH * W, P), w3[:],
+                 preferred_element_type=jnp.float32) + c3[:]
+    out_ref[0] = h3.astype(xc.dtype).reshape(CH, W, C) + xc
+
+
+def fused_bottleneck_pallas_chunked(x: jax.Array, params: BottleneckParams,
+                                    interpret: bool = False,
+                                    chunk: int = 16) -> jax.Array:
+    """Batched-grid fused bottleneck forward: grid (B, H/chunk), the
+    whole input image VMEM-resident (fetched once per image — the block
+    index is constant along the chunk axis), CH-row output blocks."""
+    B, H, W, C = x.shape
+    P = params.w1.shape[1]
+    CH = min(chunk, H)
+    assert H % CH == 0, (H, CH)
+    nr = H // CH
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda b, r: (0,) * len(shape), memory_space=pltpu.VMEM)
+    vec = lambda n: rep((n,))
+    flops = B * H * W * 2 * (C * P * 2 + 9 * P * P)
+    return pl.pallas_call(
+        functools.partial(_kernel_chunked, nr, CH),
+        grid=(B, nr),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C), rep((C, P)), vec(P),
+            vec(P), vec(P), rep((3, 3, P, P)), vec(P),
+            vec(P), vec(P), rep((P, C)), vec(C),
+        ],
+        out_specs=pl.BlockSpec((1, CH, W, C), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((CH + 2, W + 2, P), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, *params)
+
+
+# forward implementation the custom-vjp `fused_bottleneck` dispatches
+# to: 'image' (per-image grid, round 4) | 'chunked' (batched grid,
+# round 5). Module-level so bench tools can A/B without re-plumbing
+# every call site; consulted at trace time.
+#
+# Measured verdict (round 5, tools/bottleneck_spike3.py, v5e, B=64
+# 64x64x256 in-context marginals): xla 1.07 ms/block (53% MFU),
+# per-image Pallas 0.73 ms (78% MFU), batched-grid 0.93 ms (61%) —
+# the batched grid's halo recompute (+2/CH conv1 rows) and per-program
+# scratch zeroing cost more than chunk-granular output pipelining
+# saves, so 'image' stays the default. (Round 4's -23% full-train-step
+# verdict was the REMAT BACKWARD, not the forward: the forward kernel
+# beats XLA; it pays off on backward-free surfaces — eval/serving.)
+DEFAULT_IMPL = 'image'
+
+
 def fused_bottleneck_pallas(x: jax.Array, params: BottleneckParams,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            impl: str = None) -> jax.Array:
     """Fused pre-act bottleneck forward. x: [B, H, W, C] (bf16/f32),
     identity residual (params.w3 maps P -> C == x channels)."""
+    impl = impl or DEFAULT_IMPL
+    if impl == 'chunked':
+        return fused_bottleneck_pallas_chunked(x, params,
+                                               interpret=interpret)
     B, H, W, C = x.shape
     P = params.w1.shape[1]
     rep = lambda shape: pl.BlockSpec(

@@ -110,6 +110,25 @@ def test_fused_bottleneck_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_bottleneck_chunked_matches_xla(rng):
+    """Batched-grid formulation (grid=(B, H/CH), halo recompute): both
+    impls must match the oracle at 1-chunk, 2-chunk (edge-only), and
+    4-chunk (interior-chunk) heights."""
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        fused_bottleneck_pallas, bottleneck_reference, random_params)
+    params = random_params(jax.random.PRNGKey(0), 32, 16,
+                           dtype=jnp.float32)
+    for H in (16, 32, 64):
+        x = jnp.asarray(rng.normal(size=(2, H, 16, 32)).astype(np.float32))
+        ref = bottleneck_reference(x, params)
+        for impl in ('image', 'chunked'):
+            got = fused_bottleneck_pallas(x, params, interpret=True,
+                                          impl=impl)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f'H={H} impl={impl}')
+
+
 def test_fused_bottleneck_matches_flax_block(rng):
     """The kernel must reproduce the actual model block (eval mode):
     fold a trained-ish flax Bottleneck's variables and compare."""

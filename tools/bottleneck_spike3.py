@@ -97,8 +97,13 @@ def main(argv=None):
         flops1 = B * H * H * 2 * (C * P * 2 + 9 * P * P)
         print(f'--- B={B} {H}x{H}x{C} (P={P}) [{flops1/1e9:.1f} GF/block]'
               f' unrolled k={args.k1}->{args.k2} ---')
+        pallas_img = functools.partial(fused_bottleneck_pallas,
+                                       impl='image')
+        pallas_chunk = functools.partial(fused_bottleneck_pallas,
+                                         impl='chunked')
         for label, block in (('xla', bottleneck_reference),
-                             ('pallas', fused_bottleneck_pallas)):
+                             ('pal-img', pallas_img),
+                             ('pal-chunk', pallas_chunk)):
             t1 = run(make(block, plist[:args.k1]), x)
             t2 = run(make(block, plist), x)
             m = (t2 - t1) / (args.k2 - args.k1)
