@@ -114,6 +114,9 @@ def main(argv=None):
                    choices=['quarter', 'dark', 'none'])
     p.add_argument('--no-fold', action='store_true')
     p.add_argument('--no-bf16', action='store_true')
+    p.add_argument('--fuse', action='store_true',
+                   help='MODEL.fuse_block: Pallas fused bottleneck on '
+                        'the eligible (identity-residual, >=16^2) blocks')
     p.add_argument('--end-to-end', action='store_true')
     p.add_argument('--frame-res', type=int, nargs=2, default=(720, 1280),
                    metavar=('H', 'W'),
@@ -128,7 +131,7 @@ def main(argv=None):
     model = HourglassNet(num_stacks=args.stacks, num_blocks=1,
                          num_classes=16, mobile=args.mobile,
                          skip_mode='sum', dtype=jnp.bfloat16,
-                         out_dtype=jnp.float32)
+                         out_dtype=jnp.float32, fuse_block=args.fuse)
     x = jnp.zeros((args.batch, args.res, args.res, 3), jnp.float32)
     # params/stats are resolution-independent: init at 64^2 to avoid
     # compiling a second full-res forward program just for init

@@ -108,13 +108,14 @@ def pipeline_evidence(m_list=(1, 2, 4, 8), feats=64, res=64, b=16,
         collective-permute result shapes, times the scan trip count T
         (static in the program) for the forward and the transposed
         backward scan.
-      * bubble: XLA's own cost analysis of each compiled step (flops
-        include while-loop bodies times their trip counts), per
-        microbatch, compared across M against (M+P-1)/M. Wall-clock
-        per-step timing is deliberately NOT used here: on this 1-core
-        host one 8-stack virtual-mesh step takes minutes, and the
-        compiled-flops census is exact where wall clock would be
-        noise-dominated.
+      * bubble: XLA's cost analysis counts the scan BODY once (its
+        flops scale with the microbatch size, verified 8x between M=1
+        and M=8), so executed compute per step = body flops x T; per
+        IMAGE that is body x T / shard, compared across M against the
+        GPipe wasted-compute ratio (M+P-1)/M. Wall-clock per-step
+        timing is deliberately NOT used: on this 1-core host one
+        8-stack virtual-mesh step takes minutes, and the compiled-flops
+        census is exact where wall clock would be noise-dominated.
     """
     import jax
     import jax.numpy as jnp
@@ -156,19 +157,21 @@ def pipeline_evidence(m_list=(1, 2, 4, 8), feats=64, res=64, b=16,
         T = M + pp - 1
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        gflops = float(cost.get('flops', 0.0)) / 1e9
-        rows.append((M, T, ncp, bcp, nar, bar, gflops))
+        body_gf = float(cost.get('flops', 0.0)) / 1e9
+        executed = body_gf * T
+        rows.append((M, T, ncp, bcp, nar, bar, executed))
         print(f'[pipeline] M={M} (T={T} ticks): collective-permute '
               f'x{ncp}/tick, {bcp / 1e6:.2f} MB/tick x T = '
               f'{bcp * T / 1e6:.1f} MB/step executed; all-reduce x{nar} '
-              f'{bar / 1e6:.2f} MB/step; compiled cost '
-              f'{gflops:.1f} GF ({gflops / M:.1f} GF/microbatch)')
+              f'{bar / 1e6:.2f} MB/step; scan body {body_gf:.1f} GF x T '
+              f'= {executed:.1f} GF/step executed '
+              f'({executed / (b // dp):.2f} GF/img)')
 
     base = rows[-1]
-    print('[pipeline] bubble (compiled GF/microbatch relative to '
+    print('[pipeline] bubble (executed GF/img relative to '
           f'M={base[0]}, vs GPipe (M+P-1)/M wasted-compute ratio):')
-    for M, T, _, _, _, _, gf in rows:
-        meas = (gf / M) / (base[6] / base[0])
+    for M, T, _, _, _, _, ex in rows:
+        meas = ex / base[6]
         pred = ((M + pp - 1) / M) / ((base[0] + pp - 1) / base[0])
         print(f'[pipeline]   M={M}: measured {meas:.2f}x, '
               f'GPipe {pred:.2f}x')
