@@ -128,8 +128,10 @@ def main(argv=None):
                 spec, state, raw = build(args.stacks, args.res, B, fuse)
                 cur_fuse = fuse
             estep = make_eval_step(spec, device_pipeline=True)
+            valid = jnp.ones((B,), jnp.float32)
             for _ in range(3):
-                metrics, _ = out = estep(state, raw, rng)
+                metrics = estep(state, raw, valid)
+            assert np.isfinite(float(metrics['loss']))
             # chain through a fresh fetch each iter: eval step has no
             # state to thread, so re-feed the (device-resident) raw and
             # fetch the loss every call — per-call RTT is ~26 ms, so
@@ -137,7 +139,7 @@ def main(argv=None):
             def loop(n):
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    metrics, _ = estep(state, raw, rng)
+                    metrics = estep(state, raw, valid)
                     float(metrics['loss'])
                 return time.perf_counter() - t0
             n = args.iters
