@@ -96,6 +96,31 @@ def main():
         nn.max_pool(a, (2, 2), strides=(2, 2)))))(jnp.asarray(x))
     ok &= check('maxpool2x2_pallas (grad)', g_p, g_r, atol=1e-4)
 
+    # fused pre-act bottleneck, both grid formulations (fwd; the
+    # backward is the XLA remat reference by construction). f32 at
+    # half width (the full f32 trunk shape exceeds the per-image
+    # kernel's 16 MB VMEM budget — the kernel targets bf16), plus the
+    # REAL deploy dtype/shape: bf16 at the 64x64x256 trunk (oracle runs
+    # the same bf16-operand/f32-accumulate convs; residual reduction
+    # order differs, hence the bf16-scale tolerance).
+    from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
+        fused_bottleneck_pallas, bottleneck_reference, random_params)
+    # f32 atol is 5e-4, not the CPU suite's 1e-5: TPU f32 matmuls/convs
+    # execute as bf16 MXU passes (platform behavior), and the kernel's
+    # 9-tap matmul order differs from XLA's conv — measured 2.4e-4.
+    for dt, C, P, atol in ((jnp.float32, 128, 64, 5e-4),
+                           (jnp.bfloat16, 256, 128, 3e-2)):
+        xb = jnp.asarray(
+            0.5 * rng.normal(size=(4, 64, 64, C)), jnp.float32).astype(dt)
+        prm = random_params(jax.random.PRNGKey(3), C, P, dtype=dt)
+        ref = bottleneck_reference(jnp.asarray(xb), prm).astype(jnp.float32)
+        for impl in ('image', 'chunked'):
+            got = jax.jit(lambda a, impl=impl: fused_bottleneck_pallas(
+                a, prm, impl=impl))(xb).astype(jnp.float32)
+            ok &= check(
+                f'fused_bottleneck_pallas[{impl}] ({dt.__name__} fwd)',
+                got, ref, atol=atol)
+
     print('ALL PASS' if ok else 'FAILURES PRESENT')
     return 0 if ok else 1
 
