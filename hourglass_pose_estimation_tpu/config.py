@@ -81,7 +81,10 @@ class ModelConfig:
     # arch=hg only: run eligible bottlenecks as ONE Pallas kernel on any
     # running-average-BN forward (eval, estimate, export, and the
     # frozen-BN train phase); numerically equivalent fused compute path
-    # (models/modules.py Bottleneck.fuse_block, ops/pallas/bottleneck.py)
+    # (models/modules.py Bottleneck.fuse_block, ops/pallas/bottleneck.py).
+    # Measured SLOWER than XLA on every surface at the flagship config
+    # (BENCH_NOTES rounds 4-5: each pallas_call is a fusion barrier in
+    # full-model context) — keep False unless re-measured on new shapes.
     fuse_block: bool = False
 
     def __post_init__(self):
