@@ -187,6 +187,42 @@ def test_bottleneck_fuse_block_forward_and_grad(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_bottleneck_grads_chunked_impl(rng):
+    """The custom-VJP dispatch honors the module-level DEFAULT_IMPL
+    switch: with the chunked forward selected, values still match the
+    oracle and the (shared, rematerializing) backward produces the
+    same grads."""
+    from hourglass_pose_estimation_tpu.ops.pallas import bottleneck as bk
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 16, 32)).astype(np.float32))
+    params = bk.random_params(jax.random.PRNGKey(0), 32, 16,
+                              dtype=jnp.float32)
+
+    def loss_ref(x, p):
+        return jnp.sum(bk.bottleneck_reference(x, p) ** 2)
+
+    def loss_fused(x, p):
+        return jnp.sum(bk.fused_bottleneck(x, p, True) ** 2)
+
+    gr_x, gr_p = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    prev = bk.DEFAULT_IMPL
+    bk.DEFAULT_IMPL = 'chunked'
+    try:
+        val = bk.fused_bottleneck(x, params, True)
+        gf_x, gf_p = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    finally:
+        bk.DEFAULT_IMPL = prev
+    np.testing.assert_allclose(np.asarray(val),
+                               np.asarray(bk.bottleneck_reference(x, params)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gf_p._asdict()),
+                    jax.tree.leaves(gr_p._asdict())):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_bottleneck_fuse_block_gating(rng):
     """Fusion must NOT engage in train mode (batch-stat BN), on strided
     / channel-changing blocks, or below fuse_min_hw — those fall back to
