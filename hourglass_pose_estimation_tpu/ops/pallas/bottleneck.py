@@ -90,6 +90,15 @@ def params_from_variables(block_vars, eps=1e-5, dtype=jnp.bfloat16):
     )
 
 
+def _chunk_for(h: int, cap: int = 16) -> int:
+    """Largest row-chunk height <= cap that divides h (both kernels'
+    row loops require exact division; h is never huge, so scan down)."""
+    for d in range(min(cap, h), 0, -1):
+        if h % d == 0:
+            return d
+    return 1
+
+
 def _kernel(x_ref, a1, b1, w1, c1, a2, b2, w2, c2, a3, b3, w3, c3,
             out_ref, tp_ref):
     """Row-chunked two-phase schedule: the whole-image single-pass
@@ -100,7 +109,7 @@ def _kernel(x_ref, a1, b1, w1, c1, a2, b2, w2, c2, a3, b3, w3, c3,
     including the double-buffered in/out image blocks."""
     H, W, C = x_ref.shape[1:]
     P = w1.shape[1]
-    CH = min(H, 16)                       # rows per chunk
+    CH = _chunk_for(H)                    # rows per chunk
 
     # the pad border of the scratch is written once (it is only ever
     # read, never overwritten, by later programs)
@@ -203,8 +212,7 @@ def fused_bottleneck_pallas_chunked(x: jax.Array, params: BottleneckParams,
     index is constant along the chunk axis), CH-row output blocks."""
     B, H, W, C = x.shape
     P = params.w1.shape[1]
-    CH = min(chunk, H)
-    assert H % CH == 0, (H, CH)
+    CH = _chunk_for(H, cap=chunk)
     nr = H // CH
     rep = lambda shape: pl.BlockSpec(
         shape, lambda b, r: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -254,6 +262,8 @@ def fused_bottleneck_pallas(x: jax.Array, params: BottleneckParams,
     """Fused pre-act bottleneck forward. x: [B, H, W, C] (bf16/f32),
     identity residual (params.w3 maps P -> C == x channels)."""
     impl = impl or DEFAULT_IMPL
+    if impl not in ('image', 'chunked'):
+        raise ValueError(f"impl must be 'image' or 'chunked', got {impl!r}")
     if impl == 'chunked':
         return fused_bottleneck_pallas_chunked(x, params,
                                                interpret=interpret)

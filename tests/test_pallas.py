@@ -118,7 +118,9 @@ def test_fused_bottleneck_chunked_matches_xla(rng):
         fused_bottleneck_pallas, bottleneck_reference, random_params)
     params = random_params(jax.random.PRNGKey(0), 32, 16,
                            dtype=jnp.float32)
-    for H in (16, 32, 64):
+    # 24 and 17 exercise the non-16-divisible / prime heights (chunk
+    # height falls back to the largest divisor of H <= 16)
+    for H in (16, 17, 24, 32, 64):
         x = jnp.asarray(rng.normal(size=(2, H, 16, 32)).astype(np.float32))
         ref = bottleneck_reference(x, params)
         for impl in ('image', 'chunked'):

@@ -127,6 +127,14 @@ def main(argv=None):
             if spec is None or cur_fuse != fuse:
                 spec, state, raw = build(args.stacks, args.res, B, fuse)
                 cur_fuse = fuse
+                # freshly-built states carry the flax (0, 1) placeholder
+                # running BN statistics, which the eval (running-average)
+                # forward normalizes with — warm them with standard
+                # steps exactly like the frozen train variants above
+                warm = make_train_step(spec, device_pipeline=True)
+                for i in range(args.warm_steps):
+                    state, wm = warm(state, raw, jax.random.fold_in(rng, i))
+                assert np.isfinite(float(wm['loss'])), float(wm['loss'])
             estep = make_eval_step(spec, device_pipeline=True)
             valid = jnp.ones((B,), jnp.float32)
             for _ in range(3):

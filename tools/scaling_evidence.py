@@ -249,7 +249,7 @@ def main(argv=None):
     jax.config.update('jax_num_cpu_devices', 8)
 
     if args.pipeline:
-        pipeline_evidence()
+        pipeline_evidence(stacks=args.stacks)
         return 0
 
     if not args.skip_hlo:
