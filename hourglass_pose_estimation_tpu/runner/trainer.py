@@ -204,8 +204,16 @@ class Trainer:
 
         self.ckpt_dir = os.path.join(cfg.common.checkpoint_dir, 'ckpts')
         self.writer = None
-        if cfg.common.resume and os.path.exists(cfg.common.resume):
-            self._resume(cfg.common.resume)
+        if cfg.common.resume:
+            if os.path.exists(cfg.common.resume):
+                self._resume(cfg.common.resume)
+            else:
+                # reference parity (crash=resume): COMMON.resume may
+                # point at a not-yet-created checkpoint so the SAME
+                # config auto-resumes after a crash — first run starts
+                # fresh, but say so instead of silently ignoring a typo
+                self._log(f'=> no checkpoint found at '
+                          f'{cfg.common.resume!r} — starting fresh')
 
     # ------------------------------------------------------------------
     def _place_state(self, state):
@@ -378,6 +386,35 @@ class Trainer:
             dev = prepare_host_batch(dev, self.spec)
         return dev
 
+    def _put_valid(self, valid):
+        """The eval validity mask must follow the same local->global
+        assembly as the batch it masks: under multi-host the Loader
+        emits this process's rows only, and a process-local [B/n] mask
+        against a global [B] batch is a shape mismatch inside
+        eval_step."""
+        v = np.asarray(valid, np.float32)
+        if self._procs[1] > 1:
+            from hourglass_pose_estimation_tpu.parallel.multihost import (
+                global_batch_from_local)
+            return global_batch_from_local(self.mesh, {'valid': v})['valid']
+        return jnp.asarray(v)
+
+    def _make_produce(self, ds, train: bool, epoch: int = 0):
+        """Host-side batch producer, shared by _train_epoch and
+        _evaluate so the canvas/crop/host-rng selection cannot
+        diverge between the two."""
+        if self.device_pipeline:
+            return lambda b: ds.canvas_batch(
+                b[0], canvas=self.canvas, crop_aware=self.crop_aware)
+        # host (cv2-parity) pipeline: exact reference augmentation
+        # semantics on the host; normalization + target rendering
+        # still happen on device (prepare_host_batch). Eval draws
+        # nothing from the rng.
+        seed = ((self.cfg.common.seed * 1000003 + epoch) % (2 ** 31)
+                if train else 0)
+        host_rng = np.random.RandomState(seed)
+        return lambda b: ds.host_batch(b[0], host_rng, train=train)
+
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch: int, rng):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
@@ -398,18 +435,8 @@ class Trainer:
         # the device runs the current step. Metrics stay ON DEVICE until
         # the epoch ends: a host value fetch is a full device round trip,
         # so per-step metric reads would serialize the pipeline.
-        if self.device_pipeline:
-            produce = lambda b: self.train_ds.canvas_batch(
-                b[0], canvas=self.canvas, crop_aware=self.crop_aware)
-        else:
-            # host (cv2-parity) pipeline: exact reference augmentation
-            # semantics on the host; normalization + target rendering
-            # still happen on device (prepare_host_batch)
-            host_rng = np.random.RandomState(
-                (self.cfg.common.seed * 1000003 + epoch) % (2 ** 31))
-            produce = lambda b: self.train_ds.host_batch(b[0], host_rng,
-                                                         train=True)
-        prefetch = Prefetcher(batches, produce)
+        prefetch = Prefetcher(
+            batches, self._make_produce(self.train_ds, True, epoch))
         step_metrics = []
         total = len(batches)
         # Double-buffered H2D: device_put is async, so dispatching the
@@ -442,25 +469,32 @@ class Trainer:
         vals = np.asarray(jnp.stack(step_metrics))        # ONE fetch
         dt = time.time() - t0
         loss, acc = float(vals[:, 0].mean()), float(vals[:, 1].mean())
+        # n_img counted this process's rows; the step consumed the
+        # GLOBAL batch (equal shards per process), so scale the
+        # throughput log accordingly under multi-host
+        n_img *= self._procs[1]
         self._log(f'  train: loss {loss:.5f} | pck {acc:.4f} | '
                   f'{n_img / dt:.1f} img/s')
         return loss, acc
 
     def _evaluate(self):
         from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
-        if self.device_pipeline:
-            produce = lambda b: self.val_ds.canvas_batch(
-                b[0], canvas=self.canvas, crop_aware=self.crop_aware)
-        else:
-            rng = np.random.RandomState(0)   # eval path draws nothing
-            produce = lambda b: self.val_ds.host_batch(b[0], rng, train=False)
-        prefetch = Prefetcher(self.val_loader.epoch_indices(), produce)
+        prefetch = Prefetcher(self.val_loader.epoch_indices(),
+                              self._make_produce(self.val_ds, False))
         rows = []
         eval_state = (self._merged_eval_state() if self.pp > 1
                       else self.state)
+        # same double-buffered H2D as _train_epoch: dispatch the next
+        # batch's (async) transfer before stepping on the current one
+        staged = None
         for raw, (idx, valid) in prefetch:
-            raw = self._stage(raw)
-            m = self.eval_step(eval_state, raw, jnp.asarray(valid))
+            incoming = (self._stage(raw), self._put_valid(valid))
+            if staged is not None:
+                m = self.eval_step(eval_state, *staged)
+                rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
+            staged = incoming
+        if staged is not None:
+            m = self.eval_step(eval_state, *staged)
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
         if not rows:
             return 0.0, 0.0

@@ -152,6 +152,12 @@ class MicroBatcher:
                 continue
             self.n_batches += 1
             self.n_frames += n
+            # ONE bulk D2H before slicing: np.asarray per future would
+            # dispatch a device slice + blocking fetch round trip per
+            # frame (x outputs) on this single worker thread — at
+            # batch 64 with a keypoint artifact that is 128 round trips
+            # per batch instead of 2
+            out = _fetch_tree(out)
             for i, (_, fut) in enumerate(batch):
                 # per-future isolation: a failure delivering one result
                 # must neither poison its batchmates nor kill this
@@ -190,6 +196,13 @@ def _set_quietly(setter, e):
         setter(e)
     except Exception:
         pass
+
+
+def _fetch_tree(out: Any):
+    """Device outputs -> host numpy, one transfer per output array."""
+    if isinstance(out, (tuple, list)):
+        return tuple(_fetch_tree(o) for o in out)
+    return np.asarray(out)
 
 
 def _slice_tree(out: Any, i: int):

@@ -59,8 +59,21 @@ def main():
     loss = float(m['loss'])
     psum = float(sum(float(jnp.sum(jnp.abs(x.astype(jnp.float32))))
                      for x in jax.tree.leaves(state.params)))
+
+    # eval step over the SAME local->global assembly, incl. the
+    # validity mask (the Trainer's _evaluate path: the mask must be
+    # globalized alongside the batch — a process-local mask against a
+    # global batch is the round-5-fixed shape mismatch)
+    from hourglass_pose_estimation_tpu.runner.train_state import (
+        make_eval_step)
+    valid = global_batch_from_local(
+        mesh, {'v': np.asarray(_valid, np.float32)})['v']
+    em = make_eval_step(spec, device_pipeline=True)(state, batch, valid)
+    eval_loss, eval_n = float(em['loss']), float(em['n'])
+
     with open(out_path, 'w') as fp:
         json.dump({'loss': loss, 'param_abs_sum': psum,
+                   'eval_loss': eval_loss, 'eval_n': eval_n,
                    'local_idx': np.asarray(idx).tolist()}, fp)
     jax.distributed.shutdown()
 

@@ -95,3 +95,21 @@ def test_two_process_spmd_matches_single_process(tmp_path):
 
     assert r0['loss'] == pytest.approx(ref_loss, rel=1e-4)
     assert r0['param_abs_sum'] == pytest.approx(ref_psum, rel=1e-4)
+
+    # eval step with the globalized validity mask (Trainer._evaluate
+    # assembly): both processes agree, and the mask covered the full
+    # global batch
+    from hourglass_pose_estimation_tpu.runner.train_state import (
+        make_eval_step)
+    assert r0['eval_loss'] == pytest.approx(r1['eval_loss'], rel=1e-6)
+    assert r0['eval_n'] == 4.0
+    # the oracle `state` is also post-step; eval here runs with the
+    # flax (0, 1) placeholder running stats, which AMPLIFY the 1e-4
+    # param residual of the distributed step into a few percent of
+    # loss (unnormalized feedback sums), so the oracle comparison is
+    # order-of-magnitude only — the strict invariants are the exact
+    # cross-worker agreement and the mask shape above
+    em = make_eval_step(spec, device_pipeline=True)(
+        state, raw, jnp.ones((4,), jnp.float32))
+    assert float(em['n']) == 4.0
+    assert r0['eval_loss'] == pytest.approx(float(em['loss']), rel=0.25)
