@@ -138,11 +138,16 @@ def write_coco_results(preds: np.ndarray, scores: np.ndarray,
     return path
 
 
-def coco_eval_ap(ann_file: str, results_file: str) -> Optional[Dict[str, float]]:
+def coco_eval_ap(ann_file: str, results_file: str,
+                 sigmas=None) -> Optional[Dict[str, float]]:
     """Official COCOeval keypoint AP, when pycocotools is installed.
 
     Returns None when pycocotools is unavailable (this environment) —
     callers fall back to `oks_recall`, which is honestly labeled AR.
+
+    `sigmas`: per-keypoint OKS constants. COCOeval's default is the
+    17-element COCO array; any other joint count (e.g. crowdpose's 14)
+    MUST pass its own or computeOks broadcasts a shape mismatch.
     """
     try:
         from pycocotools.coco import COCO
@@ -152,6 +157,8 @@ def coco_eval_ap(ann_file: str, results_file: str) -> Optional[Dict[str, float]]
     gt = COCO(ann_file)
     dt = gt.loadRes(results_file)
     ev = COCOeval(gt, dt, 'keypoints')
+    if sigmas is not None:
+        ev.params.kpt_oks_sigmas = np.asarray(sigmas, np.float64)
     ev.evaluate()
     ev.accumulate()
     ev.summarize()

@@ -99,7 +99,6 @@ def augment_batch(batch, rng, spec: PipelineSpec, train: bool):
         rot_factor=spec.rot_factor, train=train)
 
     # --- flip in source-image coordinates (common.py:127-131) ---------
-    fx = flips[:, None].astype(jnp.float32)
     centers_f = jnp.stack(
         [jnp.where(flips, widths - centers[:, 0] - 1.0, centers[:, 0]),
          centers[:, 1]], axis=-1)

@@ -168,17 +168,30 @@ def load_stablehlo(path: str):
 
 
 def export_savedmodel(model, variables, input_shape: Tuple[int, ...],
-                      path: str) -> Optional[str]:
-    """TF SavedModel via jax2tf, or None if tensorflow is unavailable."""
+                      path: str, decode: Optional[str] = None,
+                      fold_bn: bool = False,
+                      preprocess: Optional[Tuple] = None,
+                      input_res: Optional[int] = None,
+                      weights_dtype=None) -> Optional[str]:
+    """TF SavedModel via jax2tf, or None if tensorflow is unavailable.
+
+    Takes the SAME graph options as `export_stablehlo` so the two
+    artifacts written by one `scripts/export.py` run share one I/O
+    contract (previously the SavedModel silently ignored
+    decode/fold_bn/preprocess/weights_dtype and emitted a
+    heatmaps-from-f32 graph regardless of the config)."""
     try:
         import tensorflow as tf
         from jax.experimental import jax2tf
     except Exception:
         return None
-    fn = make_inference_fn(model, variables)
+    fn = make_inference_fn(model, variables, decode=decode,
+                           fold_bn=fold_bn, weights_dtype=weights_dtype,
+                           preprocess=preprocess, input_res=input_res)
+    in_dtype = tf.uint8 if preprocess is not None else tf.float32
     tf_fn = tf.function(
         jax2tf.convert(fn, with_gradient=False),
-        input_signature=[tf.TensorSpec(input_shape, tf.float32)],
+        input_signature=[tf.TensorSpec(input_shape, in_dtype)],
         autograph=False)
     module = tf.Module()
     module.f = tf_fn

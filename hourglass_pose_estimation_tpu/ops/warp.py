@@ -54,7 +54,7 @@ def _neighborhood_operand(images):
     NB = jnp.concatenate([P[:, :Lh, :Lw], P[:, :Lh, 1:Lw + 1],
                           P[:, 1:Lh + 1, :Lw], P[:, 1:Lh + 1, 1:Lw + 1]],
                          axis=-1)                                # [B,Lh,Lw,4C]
-    if images.dtype == jnp.uint8 and (4 * C) % 4 == 0:
+    if images.dtype == jnp.uint8:
         packed = jax.lax.bitcast_convert_type(
             NB.reshape(B, Lh, Lw, C, 4), jnp.int32)              # [B,Lh,Lw,C]
         flat = packed.reshape(B, Lh * Lw, C)

@@ -54,9 +54,14 @@ class Estimator:
         self.cfg = cfg
         # num_classes: explicit config wins (`configs/inference.yaml`
         # `num_classes`, reference scripts/estimate.py surface); else
-        # derive from the dataset name — NOT a silent 16, which would be
-        # wrong for COCO-17 inference configs.
-        num_classes = mc.num_classes or self._joints_for(cc.dataset)
+        # len(MODEL.subset) (a subset-trained checkpoint emits that many
+        # channels); else derive from the dataset name — NOT a silent
+        # 16, which would be wrong for COCO-17 inference configs. Same
+        # chain as data.resolve_num_classes (whose dataset term reads
+        # the DATASET section that inference configs don't carry).
+        num_classes = (mc.num_classes
+                       or (len(mc.subset) if mc.subset else 0)
+                       or self._joints_for(cc.dataset))
         self.model = get_model(mc.arch, num_stacks=mc.num_stacks,
                                num_blocks=mc.num_blocks,
                                num_classes=num_classes, mobile=mc.mobile,

@@ -38,8 +38,7 @@ def flip_heatmaps(hms: jax.Array, flip_perm) -> jax.Array:
 
 
 class Evaluator:
-    def __init__(self, cfg: Config, num_classes: Optional[int] = None,
-                 verbose: bool = True):
+    def __init__(self, cfg: Config, verbose: bool = True):
         self.cfg = cfg
         self.verbose = verbose
         dc = cfg.dataset
@@ -67,6 +66,26 @@ class Evaluator:
         # heatmap-PCK metric, where it cancels)
         self._decode = functools.partial(base, zero_based=True)
 
+    def _produce(self, idx):
+        """Host batch for one step, honoring DATASET.device_pipeline
+        exactly like the Trainer: raw canvases for the device pipeline,
+        cv2-parity host crops otherwise (eval draws nothing from rng)."""
+        if self.cfg.dataset.device_pipeline:
+            return self.ds.canvas_batch(idx, canvas=self.canvas,
+                                        crop_aware=self.crop_aware)
+        return self.ds.host_batch(idx, np.random.RandomState(0),
+                                  train=False)
+
+    def _stage(self, idx):
+        raw = self._produce(idx)
+        if not self.cfg.dataset.device_pipeline:
+            from hourglass_pose_estimation_tpu.data.pipeline import (
+                prepare_host_batch)
+            raw = prepare_host_batch(
+                {k: jnp.asarray(v) for k, v in raw.items()
+                 if k in ('image', 'joints', 'vis')}, self.spec)
+        return raw
+
     def evaluate(self, state) -> Tuple[float, float]:
         """Averaged (val_loss, heatmap PCK) — the reference's metric.
 
@@ -75,9 +94,7 @@ class Evaluator:
         """
         rows = []
         for idx, valid in self.loader.epoch_indices():
-            raw = self.ds.canvas_batch(idx, canvas=self.canvas,
-                                       crop_aware=self.crop_aware)
-            m = self.eval_step(state, raw, jnp.asarray(valid))
+            m = self.eval_step(state, self._stage(idx), jnp.asarray(valid))
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
         vals = np.asarray(jnp.stack(rows))
         n = vals[:, 2]
@@ -115,19 +132,32 @@ class Evaluator:
                         f'{sub} with flip_perm {perm}')
                 perm = tuple(range(len(sub)))
 
+        device_pipeline = self.cfg.dataset.device_pipeline
+
         @jax.jit
         def forward(state, batch):
-            data = augment_batch(batch, jax.random.PRNGKey(0), self.spec, False)
+            if device_pipeline:
+                data = augment_batch(batch, jax.random.PRNGKey(0),
+                                     self.spec, False)
+                image = data['image']
+                center, scale = data['center'], data['scale']
+            else:
+                # host (cv2-parity) crops: normalize the 0-255 BGR crop
+                # with the dataset statistics; geometry rides along
+                image = (batch['image'] / 255.0
+                         - jnp.asarray(self.spec.mean)) / jnp.asarray(
+                             self.spec.std)
+                center, scale = batch['center'], batch['scale']
             hms = state.apply_fn({'params': state.params,
                                   'batch_stats': state.batch_stats},
-                                 data['image'], train=False)[-1]
+                                 image, train=False)[-1]
             if flip_test:
-                flipped = data['image'][:, :, ::-1, :]
+                flipped = image[:, :, ::-1, :]
                 hf = state.apply_fn({'params': state.params,
                                      'batch_stats': state.batch_stats},
                                     flipped, train=False)[-1]
                 hms = 0.5 * (hms + flip_heatmaps(hf, perm))
-            preds, maxv = self._decode(hms, data['center'], data['scale'])
+            preds, maxv = self._decode(hms, center, scale)
             return preds, maxv
 
         N = len(self.ds)
@@ -140,8 +170,10 @@ class Evaluator:
         all_preds = np.zeros((N, J, 2), np.float32)
         all_scores = np.zeros((N, J), np.float32)
         for idx, valid in self.loader.epoch_indices():
-            raw = self.ds.canvas_batch(idx, canvas=self.canvas,
-                                       crop_aware=self.crop_aware)
+            raw = self._produce(idx)
+            if not device_pipeline:
+                raw = {k: jnp.asarray(v) for k, v in raw.items()
+                       if k in ('image', 'center', 'scale')}
             preds, maxv = forward(state, raw)
             preds, maxv = np.asarray(preds), np.asarray(maxv)
             sel = np.asarray(valid) > 0
@@ -207,7 +239,8 @@ class Evaluator:
                 os.path.join(output_dir, f'keypoints_{name}_results.json'),
                 kpt_scores=scores)
             table['results_file'] = path
-            official = coco_eval_ap(self.ds._ann_file(), path)
+            official = coco_eval_ap(self.ds._ann_file(), path,
+                                    sigmas=sigmas)
             if official is not None:       # pycocotools present
                 table.update({f'coco_{k}': v for k, v in official.items()})
         return table

@@ -68,7 +68,11 @@ def main(argv):
              if cfg.eval.export_batch != 1 else '')
           + (' (bf16 weights)' if wdtype is not None else ''))
     p2 = export_savedmodel(model, variables, shape,
-                           os.path.join(out_dir, 'savedmodel'))
+                           os.path.join(out_dir, 'savedmodel'),
+                           decode=decode, fold_bn=cfg.eval.export_fold_bn,
+                           preprocess=preprocess,
+                           input_res=cfg.dataset.inp_res,
+                           weights_dtype=wdtype)
     print(f'wrote {p2}' if p2 else 'tensorflow unavailable; SavedModel skipped')
     return 0
 

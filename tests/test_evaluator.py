@@ -59,6 +59,28 @@ def test_evaluator_runs():
     assert 0.0 <= acc <= 1.0
 
 
+def test_evaluator_host_pipeline():
+    """DATASET.device_pipeline=False (cv2-parity host crops): the
+    standalone Evaluator must route host batches through
+    prepare_host_batch for evaluate() and normalize-in-forward for
+    predict_keypoints(), like the Trainer — this config crashed with
+    KeyError before round 5."""
+    cfg = _tiny_cfg(DATASET={'device_pipeline': False})
+    ev = Evaluator(cfg, verbose=False)
+    state = _state_for(cfg)
+    loss, acc = ev.evaluate(state)
+    assert np.isfinite(loss)
+    assert 0.0 <= acc <= 1.0
+    preds = ev.predict_keypoints(state, flip_test=False)
+    assert preds.shape == (8, 16, 2)
+    assert np.isfinite(preds).all()
+    # the two pipelines see the same (eval-mode, deterministic)
+    # geometry: decoded keypoints must agree to within a pixel
+    ev_dev = Evaluator(_tiny_cfg(), verbose=False)
+    preds_dev = ev_dev.predict_keypoints(state, flip_test=False)
+    assert np.median(np.abs(preds - preds_dev)) <= 1.0
+
+
 def test_predict_keypoints_shapes_and_fliptest():
     cfg = _tiny_cfg(EVAL={'flip_test': False})
     ev = Evaluator(cfg, verbose=False)
