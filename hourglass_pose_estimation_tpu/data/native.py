@@ -29,13 +29,23 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, 'hostloader.cpp')
     if not os.path.isfile(src):
         return False
+    # compile to a unique temp path, then atomically rename: two
+    # processes building concurrently (the 2-process jax.distributed
+    # test, multiple trainers on one host) must never dlopen a
+    # half-written .so
+    tmp = f'{_LIB_PATH}.tmp{os.getpid()}'
     try:
         subprocess.run(
             ['g++', '-O3', '-fPIC', '-shared', '-std=c++17',
-             '-o', _LIB_PATH, src, '-ljpeg', '-lpthread'],
+             '-o', tmp, src, '-ljpeg', '-lpthread'],
             check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -62,7 +72,7 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
-        if not hasattr(lib, 'hl_load_region_batch') or lib.hl_version() < 3:
+        if not hasattr(lib, 'hl_load_region_batch') or lib.hl_version() < 4:
             # stale .so from a previous build: rebuild once
             try:
                 os.remove(_LIB_PATH)
@@ -102,7 +112,10 @@ def load_canvas_batch(paths: List[str], canvas: int, threads: int = 0
 
     Returns (canvases [N,c,c,3] u8, canvas_scale [N], widths [N],
     ok_mask [N] bool) or None if the library is unavailable. Failed
-    decodes have scale 0 (caller falls back per-slot).
+    decodes have scale 0 (caller falls back per-slot). The C ABI also
+    fills per-image heights, but only widths is surfaced: the sole
+    geometry consumer is the MPII flip (x -> width - x - 1); extend the
+    tuple if a height consumer ever appears.
     """
     lib = get_lib()
     if lib is None:

@@ -33,15 +33,6 @@ from hourglass_pose_estimation_tpu.utils.transforms import (
 )
 
 
-def _gather_bj(hm, ys, xs):
-    """hm: [B, H, W, J]; ys/xs: [B, J] int -> values [B, J] (clipped)."""
-    B, H, W, J = hm.shape
-    ys = jnp.clip(ys, 0, H - 1)
-    xs = jnp.clip(xs, 0, W - 1)
-    j = jnp.broadcast_to(jnp.arange(J)[None, :], ys.shape)
-    return jax.vmap(lambda m, yy, xx, jj: m[yy, xx, jj])(hm, ys, xs, j)
-
-
 # -- gather-free stencil extraction ------------------------------------
 # Reading a handful of neighbours around each per-joint argmax is the
 # expensive part of decoding on TPU if done with gathers (~300us for a

@@ -58,15 +58,19 @@ def restore(path: str, template_state) -> Dict[str, Any]:
         # parallel snapshot resumed by a standard run, or flat vs
         # per-leaf optimizer). Params/stats/step are layout-independent:
         # restore those with a partial template and restart the
-        # optimizer accumulators. Anything else (corrupt/missing
-        # checkpoint) propagates.
-        if 'structure' not in str(e) and 'match' not in str(e):
-            raise
+        # optimizer accumulators. No error-message sniffing (wording
+        # changes across orbax versions): just attempt the partial
+        # restore, and if the checkpoint is genuinely broken that
+        # attempt fails too — then surface the ORIGINAL error.
         partial = dict(template)
         del partial['opt_state']
-        restored = ckptr.restore(
-            _ckpt(path),
-            args=ocp.args.PyTreeRestore(item=partial, partial_restore=True))
+        try:
+            restored = ckptr.restore(
+                _ckpt(path),
+                args=ocp.args.PyTreeRestore(item=partial,
+                                            partial_restore=True))
+        except Exception:
+            raise e
         opt_state = None
         print('=> checkpoint optimizer layout differs from this run '
               f'({type(e).__name__}); restored params/stats only '

@@ -116,31 +116,38 @@ def make_train_step(spec, *, subset=None, pck_thr=0.5, device_pipeline=True,
         else:
             image, target, tw = batch['image'], batch['target'], batch['target_weight']
         target, tw = _select_subset(target, tw, subset_t)
-
-        def loss_fn(params):
-            if freeze_bn:
-                outs = state.apply_fn(
-                    {'params': params, 'batch_stats': state.batch_stats},
-                    image, train=False)
-                return heatmap_mse_loss(outs, target, tw), (
-                    outs, state.batch_stats)
-            outs, mutated = state.apply_fn(
-                {'params': params, 'batch_stats': state.batch_stats},
-                image, train=True, mutable=['batch_stats'])
-            loss = heatmap_mse_loss(outs, target, tw)
-            return loss, (outs, mutated['batch_stats'])
-
-        (loss, (outs, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
-        metrics = {'loss': loss, 'acc': acc}
-        return new_state, metrics
+        return _fwd_bwd_update(state, image, target, tw, pck_thr,
+                               freeze_bn=freeze_bn)
 
     return train_step
+
+
+def _fwd_bwd_update(state, image, target, tw, pck_thr, freeze_bn=False):
+    """Shared fwd -> bwd -> RMSprop-update -> metrics block of the
+    sequential AND overlapped train steps (one definition, so a change
+    to either step cannot silently break their documented bit-identical
+    trajectories)."""
+    def loss_fn(params):
+        if freeze_bn:
+            outs = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                image, train=False)
+            return heatmap_mse_loss(outs, target, tw), (
+                outs, state.batch_stats)
+        outs, mutated = state.apply_fn(
+            {'params': params, 'batch_stats': state.batch_stats},
+            image, train=True, mutable=['batch_stats'])
+        loss = heatmap_mse_loss(outs, target, tw)
+        return loss, (outs, mutated['batch_stats'])
+
+    (loss, (outs, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt)
+    return new_state, {'loss': loss, 'acc': acc}
 
 
 # keys of a staged (pre-augmented) batch as consumed by the model
@@ -203,22 +210,9 @@ def make_overlapped_train_step(spec, *, subset=None, pck_thr=0.5):
         image = staged['image']
         target, tw = _select_subset(staged['target'],
                                     staged['target_weight'], subset_t)
-
-        def loss_fn(params):
-            outs, mutated = state.apply_fn(
-                {'params': params, 'batch_stats': state.batch_stats},
-                image, train=True, mutable=['batch_stats'])
-            loss = heatmap_mse_loss(outs, target, tw)
-            return loss, (outs, mutated['batch_stats'])
-
-        (loss, (outs, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=new_stats, opt_state=new_opt)
-        return new_state, staged_next, {'loss': loss, 'acc': acc}
+        new_state, metrics = _fwd_bwd_update(state, image, target, tw,
+                                             pck_thr)
+        return new_state, staged_next, metrics
 
     return train_step
 

@@ -69,6 +69,16 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels,
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
   const int ch = cinfo.output_components;  // 3 for JCS_RGB
+  // reject absurd header-declared dimensions BEFORE allocating: a
+  // corrupt/crafted SOF claiming 60000x60000 would request ~10.8 GB
+  // (and a bad_alloc escaping the worker thread would abort the whole
+  // process). 2^27 px (~134 MP, 402 MB BGR) far exceeds any real photo.
+  if (w <= 0 || h <= 0 ||
+      static_cast<int64_t>(w) * h > (static_cast<int64_t>(1) << 27)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    return false;
+  }
   pixels->assign(static_cast<size_t>(w) * h * 3, 0);
   row.resize(static_cast<size_t>(w) * ch);
   uint8_t* rptr = row.data();
@@ -132,8 +142,11 @@ void pack_whole_image(const std::vector<uint8_t>& pixels, int w, int h,
                       int canvas, uint8_t* out_img, float* q_out,
                       float* ox_out, float* oy_out) {
   const float q = static_cast<float>(canvas) / std::max(w, h);
-  const int ow = std::max(1, static_cast<int>(w * q + 0.5f));
-  const int oh = std::max(1, static_cast<int>(h * q + 0.5f));
+  // lrintf (round-half-even under the default rounding mode) matches
+  // the cv2 fallback's Python round() in data/common.py — +0.5f floor
+  // diverged on exact .5 products (w=5 at q=0.5: 3 px vs Python's 2)
+  const int ow = std::max(1, static_cast<int>(std::lrintf(w * q)));
+  const int oh = std::max(1, static_cast<int>(std::lrintf(h * q)));
   std::vector<uint8_t> resized;
   const uint8_t* src = pixels.data();
   if (!(ow == w && oh == h)) {
@@ -264,9 +277,16 @@ extern "C" int hl_load_region_batch(const char** paths, int n, int canvas,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      load_region_one(paths[i], canvas, cx[i], cy[i], side[i],
-                      out + static_cast<size_t>(i) * canvas * canvas * 3,
-                      q + i, ox + i, oy + i, widths + i, heights + i);
+      try {
+        load_region_one(paths[i], canvas, cx[i], cy[i], side[i],
+                        out + static_cast<size_t>(i) * canvas * canvas * 3,
+                        q + i, ox + i, oy + i, widths + i, heights + i);
+      } catch (...) {
+        // per-slot failure contract: an exception (e.g. bad_alloc on a
+        // pathological image) must not escape the thread and
+        // std::terminate the process — the slot stays q=0 (cv2 fallback)
+        q[i] = 0.0f;
+      }
       if (q[i] > 0.0f) ok.fetch_add(1);
     }
   };
@@ -293,9 +313,13 @@ extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      load_one(paths[i], canvas,
-               out + static_cast<size_t>(i) * canvas * canvas * 3,
-               canvas_scale + i, widths + i, heights + i);
+      try {
+        load_one(paths[i], canvas,
+                 out + static_cast<size_t>(i) * canvas * canvas * 3,
+                 canvas_scale + i, widths + i, heights + i);
+      } catch (...) {
+        canvas_scale[i] = 0.0f;  // slot failed; cv2 fallback (see above)
+      }
       if (canvas_scale[i] > 0.0f) ok.fetch_add(1);
     }
   };
@@ -311,4 +335,4 @@ extern "C" int hl_load_canvas_batch(const char** paths, int n, int canvas,
   return ok.load();
 }
 
-extern "C" int hl_version() { return 3; }
+extern "C" int hl_version() { return 4; }

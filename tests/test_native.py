@@ -134,3 +134,41 @@ def test_native_region_q1_exact_copy(jpeg_dir):
     diff = np.abs(imgs[0].astype(np.int32) - region.astype(np.int32))
     assert np.median(diff) <= 1.0
     assert np.percentile(diff, 99) <= 6.0
+
+
+def test_native_pathological_sof_rejected_per_slot(jpeg_dir, tmp_path):
+    """A JPEG whose SOF header declares absurd dimensions (a ~10.8 GB
+    allocation) must fail ITS slot only — not abort the process with an
+    escaped bad_alloc (the round-5-fixed per-slot failure contract)."""
+    blob = bytearray(open(jpeg_dir[0], 'rb').read())
+    # patch the SOF0 frame header: marker FFC0, then length(2) +
+    # precision(1) + height(2) + width(2), big-endian
+    i = blob.find(b'\xff\xc0')
+    assert i > 0
+    blob[i + 5:i + 7] = (60000).to_bytes(2, 'big')
+    blob[i + 7:i + 9] = (60000).to_bytes(2, 'big')
+    bad = str(tmp_path / 'huge.jpg')
+    open(bad, 'wb').write(bytes(blob))
+
+    res = native.load_canvas_batch([bad, jpeg_dir[1]], 64)
+    assert res is not None
+    _, scales, _, ok = res
+    assert not ok[0] and scales[0] == 0.0
+    assert ok[1]
+
+
+def test_native_resize_rounding_matches_cv2_fallback(tmp_path):
+    """Exact-.5 size products round identically on both documented-
+    identical paths: native lrintf (half-even) == Python round()."""
+    # w*q = 5 * (4/8) = 2.5 -> Python round() gives 2 (banker's)
+    img = np.full((8, 5, 3), 128, np.uint8)
+    p = str(tmp_path / 'odd.jpg')
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    res = native.load_canvas_batch([p], 4)
+    assert res is not None
+    imgs, scales, _, ok = res
+    assert ok[0]
+    # columns >= round(2.5) == 2 must be zero padding, exactly like the
+    # cv2 fallback's cv2.resize(..., (int(round(w*q)), ...))
+    assert (imgs[0][:, 2:, :] == 0).all()
+    assert (imgs[0][:, :2, :] != 0).any()

@@ -6,6 +6,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from hourglass_pose_estimation_tpu.config import load_config
@@ -126,6 +127,35 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree.leaves(restored['state'].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(restored['state'].step) == int(state.step)
+
+
+def test_checkpoint_optimizer_layout_fallback(tmp_path, capsys):
+    """Restoring a snapshot whose optimizer layout differs (flat vs
+    per-leaf) must fall back to params/stats/step-only restore with a
+    fresh optimizer — and a genuinely missing checkpoint must still
+    raise, not be misrouted into the partial path."""
+    ds, spec, model, state = _tiny_setup()   # flat optimizer (default)
+    step = make_train_step(spec, device_pipeline=True)
+    raw = ds.canvas_batch(list(range(8)), canvas=64)
+    state, _ = step(state, raw, jax.random.PRNGKey(2))
+    path = os.path.join(tmp_path, 'ckpt')
+    ckpt_lib.save(path, state, epoch=5, best_acc=0.7)
+
+    # per-leaf optimizer template: different opt_state tree structure
+    tx = make_optimizer(2.5e-3, [], 0.1, 4, flat=False)
+    fresh = init_state(model, jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+    restored = ckpt_lib.restore(path, fresh)
+    assert restored['epoch'] == 5
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored['state'].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # optimizer restarted with the TEMPLATE's (per-leaf) structure
+    assert (jax.tree_util.tree_structure(restored['state'].opt_state)
+            == jax.tree_util.tree_structure(fresh.opt_state))
+    assert 'optimizer layout differs' in capsys.readouterr().out
+
+    with pytest.raises(Exception):
+        ckpt_lib.restore(os.path.join(tmp_path, 'nope'), fresh)
 
 
 def test_overlapped_step_matches_sequential():
