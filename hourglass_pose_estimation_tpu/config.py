@@ -251,6 +251,17 @@ def load_config(path: Optional[str] = None,
             data[section] = {}
         data[section][name] = _coerce(value)
 
+    # unknown top-level sections — typos ('TRIAN') and lowercase
+    # ('train:') included — must warn like unknown keys do, not be
+    # silently dropped (a dropped TRAIN section runs with all defaults)
+    import warnings
+    for section in data:
+        if section not in _SECTION_MAP:
+            hint = (f" (did you mean '{section.upper()}'?)"
+                    if section.upper() in _SECTION_MAP else '')
+            warnings.warn(f'ignoring unknown config section '
+                          f'{section!r}{hint}')
+
     kwargs = {}
     for section, (attr, cls) in _SECTION_MAP.items():
         kwargs[attr] = _build_section(cls, data.get(section, {}) or {})

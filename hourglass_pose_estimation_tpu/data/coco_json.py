@@ -20,7 +20,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-PIXEL_STD = 200.0
+from hourglass_pose_estimation_tpu.data.common import PIXEL_STD
 
 
 def load_coco_keypoints(ann_file: str, n_joints: int,

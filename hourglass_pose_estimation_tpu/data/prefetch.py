@@ -31,17 +31,51 @@ class Prefetcher:
         self._items = list(items)
         self._produce = produce
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for item in self._items:
-                self._q.put((self._produce(item), item))
+                if self._stop.is_set():
+                    return
+                batch = self._produce(item)
+                # bounded put that stays responsive to close(): an
+                # abandoned consumer must not leave this thread blocked
+                # forever holding device buffers
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((batch, item), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put((None, None))
+            # the end-of-items sentinel must be DELIVERED (a dropped
+            # sentinel leaves the consumer blocked on q.get forever once
+            # it drains the staged batches) — block like a normal put,
+            # but stay responsive to close() (whose drain makes room)
+            while not self._stop.is_set():
+                try:
+                    self._q.put((None, None), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        """Stop producing and join the thread. Call when abandoning
+        iteration early (consumer exception): otherwise the producer
+        keeps staging batches and then blocks on the bounded queue for
+        the process lifetime. Idempotent."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
 
     def __iter__(self) -> Iterator:
         n = 0

@@ -17,9 +17,15 @@ unchanged — multi-resolution supervision becomes first-class.
 
 Structural parity checks: 25,132,480 params (1 stage, 16 joints,
 chl=256) / 56,848,576 (2 stages) — verified against the reference by
-instantiation. Reference init is reproduced: Kaiming fan_out normal
-for convs, BN scale 1 / bias 0, and the quirk that only the FIRST
-bottleneck of each ResNet layer receives `mobile` (mspn.py:105-108).
+instantiation. Init: Kaiming fan_out normal for convs, BN scale 1 /
+bias 0, and the quirk that only the FIRST bottleneck of each ResNet
+layer receives `mobile` (mspn.py:105-108). Documented DEVIATION from
+the reference init: its Kaiming loop covers only the DownSample-trunk
+convs (mspn.py:110-118) and conv biases are torch-default uniform —
+here Kaiming applies to every conv (stem + decoder too) with
+zero-init biases; the following BatchNorms absorb most of the
+difference, and trained-checkpoint import is unaffected (weights are
+loaded, not initialized).
 """
 
 from __future__ import annotations
@@ -256,6 +262,11 @@ def mspn(**kwargs):
         if kwargs.get(opt):
             raise ValueError(f'arch=mspn does not support {opt}; '
                              f'got {opt}={kwargs[opt]!r}')
+    if kwargs.get('skip_mode', 'sum') != 'sum':
+        # same policy: MSPN's skip structure is fixed; an hg config's
+        # skip_mode=concat must not be silently ignored
+        raise ValueError("arch=mspn does not support skip_mode="
+                         f"{kwargs['skip_mode']!r} (fixed skip structure)")
     return MSPN(num_stacks=kwargs['num_stacks'],
                 num_classes=kwargs['num_classes'],
                 out_res=kwargs.get('out_res', 64),

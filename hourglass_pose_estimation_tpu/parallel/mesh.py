@@ -19,7 +19,6 @@ deviation).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax
@@ -52,15 +51,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding_rules(path: str, shape, mesh: Mesh,
-                         min_shard_dim: int = 128):
-    """PartitionSpec for one parameter.
+def param_sharding_rules(shape, mesh: Mesh, min_shard_dim: int = 128):
+    """PartitionSpec for one parameter — purely SHAPE-based.
 
     Tensor-parallel rule: conv kernels [kh, kw, cin, cout] with
     cout >= min_shard_dim and cout divisible by the 'model' axis are
-    sharded on the output-channel dim. Everything else is replicated
-    (the SPMD partitioner propagates input-channel shardings and
-    inserts the reduce where layers meet).
+    sharded on the output-channel dim; 1-D vectors meeting the same
+    divisibility (biases / BN affine of those convs) shard alongside.
+    Everything else is replicated (the SPMD partitioner propagates
+    input-channel shardings and inserts the reduce where layers meet).
     """
     tp = mesh.shape['model']
     if tp == 1:
@@ -75,7 +74,6 @@ def param_sharding_rules(path: str, shape, mesh: Mesh,
 
 def shard_params(params, mesh: Mesh):
     """Apply `param_sharding_rules` over a param pytree -> sharding tree."""
-    def spec_for(path, leaf):
-        name = jax.tree_util.keystr(path)
-        return NamedSharding(mesh, param_sharding_rules(name, leaf.shape, mesh))
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, param_sharding_rules(leaf.shape, mesh)), params)

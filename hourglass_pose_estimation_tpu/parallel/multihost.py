@@ -36,17 +36,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def maybe_initialize_distributed(verbose: bool = True):
     """Initialize jax.distributed when a coordinator is configured.
 
+    Triggers, in order:
+      * JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS set — passed
+        EXPLICITLY to `jax.distributed.initialize` (JAX does not read
+        these itself), together with JAX_NUM_PROCESSES/JAX_PROCESS_ID
+        when both are present (generic clusters; TPU pods can resolve
+        counts from platform metadata given just the address);
+      * HPE_DISTRIBUTED=1 — no-arg `initialize()` using JAX's cluster
+        auto-detection (TPU pod metadata, SLURM, MPI). Opt-in because
+        auto-detection raises on plain single-host machines.
+
     Returns (process_index, process_count). Safe to call exactly once,
     before any backend use; a no-op single-process setup returns (0, 1).
     """
-    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
-            or os.environ.get('COORDINATOR_ADDRESS')):
+    addr = (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('COORDINATOR_ADDRESS'))
+    nproc = os.environ.get('JAX_NUM_PROCESSES')
+    pid = os.environ.get('JAX_PROCESS_ID')
+    if addr:
+        kwargs = {'coordinator_address': addr}
+        if nproc is not None and pid is not None:
+            kwargs.update(num_processes=int(nproc), process_id=int(pid))
+        jax.distributed.initialize(**kwargs)
+    elif os.environ.get('HPE_DISTRIBUTED'):
         jax.distributed.initialize()
-        if verbose:
-            print(f'=> jax.distributed: process '
-                  f'{jax.process_index()}/{jax.process_count()}, '
-                  f'{jax.local_device_count()} local '
-                  f'/ {jax.device_count()} global devices')
+    else:
+        return jax.process_index(), jax.process_count()
+    if verbose:
+        print(f'=> jax.distributed: process '
+              f'{jax.process_index()}/{jax.process_count()}, '
+              f'{jax.local_device_count()} local '
+              f'/ {jax.device_count()} global devices')
     return jax.process_index(), jax.process_count()
 
 

@@ -445,20 +445,27 @@ class Trainer:
         # key per epoch; the step folds in state.step on device.
         staged = None                    # (device batch, batch size)
         i = 0
-        for raw, (idx, _valid) in prefetch:
-            incoming = (self._stage(raw), len(idx))
-            if staged is not None:
-                dev, bs = staged
-                self.state, metrics = step_fn(self.state, dev, rng)
-                step_metrics.append(jnp.stack([metrics['loss'], metrics['acc']]))
-                n_img += bs
-                i += 1
-                if self.verbose and total >= 50 and i % 50 == 0:
-                    el = time.time() - t0
-                    eta = el / i * (total - i)
-                    self._log(f'    [{i}/{total}] elapsed {el:.0f}s '
-                              f'eta {eta:.0f}s (dispatch)')
-            staged = incoming
+        try:
+            for raw, (idx, _valid) in prefetch:
+                incoming = (self._stage(raw), len(idx))
+                if staged is not None:
+                    dev, bs = staged
+                    self.state, metrics = step_fn(self.state, dev, rng)
+                    step_metrics.append(
+                        jnp.stack([metrics['loss'], metrics['acc']]))
+                    n_img += bs
+                    i += 1
+                    if self.verbose and total >= 50 and i % 50 == 0:
+                        el = time.time() - t0
+                        eta = el / i * (total - i)
+                        self._log(f'    [{i}/{total}] elapsed {el:.0f}s '
+                                  f'eta {eta:.0f}s (dispatch)')
+                staged = incoming
+        finally:
+            # abandoning iteration (step exception) must stop the
+            # producer thread, or it blocks forever holding device
+            # buffers; no-op on normal completion
+            prefetch.close()
         if staged is not None:
             dev, bs = staged
             self.state, metrics = step_fn(self.state, dev, rng)
@@ -487,12 +494,15 @@ class Trainer:
         # same double-buffered H2D as _train_epoch: dispatch the next
         # batch's (async) transfer before stepping on the current one
         staged = None
-        for raw, (idx, valid) in prefetch:
-            incoming = (self._stage(raw), self._put_valid(valid))
-            if staged is not None:
-                m = self.eval_step(eval_state, *staged)
-                rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
-            staged = incoming
+        try:
+            for raw, (idx, valid) in prefetch:
+                incoming = (self._stage(raw), self._put_valid(valid))
+                if staged is not None:
+                    m = self.eval_step(eval_state, *staged)
+                    rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))
+                staged = incoming
+        finally:
+            prefetch.close()
         if staged is not None:
             m = self.eval_step(eval_state, *staged)
             rows.append(jnp.stack([m['loss'], m['acc'], m['n']]))

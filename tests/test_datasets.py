@@ -167,3 +167,42 @@ def test_crowdpose_and_hands_registered():
     assert REGISTRY['hands'].n_joints == 22
     assert len(REGISTRY['hands']('hands_probe', True).__class__.flip_pairs
                if False else REGISTRY['hands'].flip_pairs) == 11
+
+
+def test_prefetcher_close_unblocks_producer():
+    """Abandoning iteration early + close() must stop the producer
+    thread (it otherwise blocks forever on the bounded queue holding
+    staged batches — the round-5-fixed leak)."""
+    import time
+    from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
+
+    produced = []
+    pf = Prefetcher(range(50), lambda i: produced.append(i) or i, depth=2)
+    it = iter(pf)
+    next(it)                      # consume one, then abandon
+    pf.close()
+    assert not pf._thread.is_alive()
+    n_after_close = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n_after_close   # production stopped
+    assert n_after_close < 50
+
+    # normal completion: close() afterwards is a harmless no-op
+    pf2 = Prefetcher(range(5), lambda i: i)
+    got = [item for _, item in pf2]
+    assert got == list(range(5))
+    pf2.close()
+
+
+def test_prefetcher_sentinel_delivered_when_queue_full():
+    """Producer finishing while the bounded queue is FULL must still
+    deliver the end-of-items sentinel (a dropped sentinel deadlocks the
+    consumer on q.get — regression for the round-5 close() rework)."""
+    import time
+    from hourglass_pose_estimation_tpu.data.prefetch import Prefetcher
+
+    pf = Prefetcher(range(4), lambda i: i, depth=2)
+    time.sleep(0.5)               # let the producer fill up and finish
+    got = [item for _, item in pf]
+    assert got == [0, 1, 2, 3]
+    pf.close()
