@@ -173,14 +173,19 @@ def gaussian_blur(heatmaps, kernel: int = 11):
     return x * (orig_max / jnp.maximum(new_max, 1e-20))
 
 
-@functools.partial(jax.jit, static_argnames=("zero_based",))
-def decode_dark(heatmaps, centers, scales, zero_based: bool = False):
+@functools.partial(jax.jit, static_argnames=("zero_based", "affine_size"))
+def decode_dark(heatmaps, centers, scales, zero_based: bool = False,
+                affine_size=None):
     """DARK (Taylor-expansion) decode, batched.
 
     Parity (zero_based=False): `/root/reference/src/utils/inference.py:
     70-87` including the reference's finite differences taken at the
     1-based integer coords (an off-by-one vs the DARK paper).
     zero_based=True evaluates derivatives at the true 0-based peak.
+    `affine_size`: (w, h) the inverse affine maps FROM — defaults to
+    the heatmap dims; the reference's estimator passes frame dims with
+    a matching scale (estimator.py:76-82, via transform_preds'
+    output_size).
     """
     B, H, W, J = heatmaps.shape
     if zero_based:
@@ -217,7 +222,9 @@ def decode_dark(heatmaps, centers, scales, zero_based: bool = False):
     offs = jnp.stack([off_x, off_y], axis=-1)
     coords = coords + jnp.where(ok[..., None], offs, 0.0)
 
-    inv = batched_affine_transforms(centers, scales, jnp.zeros((B,)), (W, H), inv=True)
+    size = affine_size if affine_size is not None else (W, H)
+    inv = batched_affine_transforms(centers, scales, jnp.zeros((B,)), size,
+                                    inv=True)
     return batched_apply_affine(coords, inv), maxvals
 
 

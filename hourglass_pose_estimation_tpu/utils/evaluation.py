@@ -80,7 +80,12 @@ def accuracy(output, target, idxs=None, thr=0.5):
       output, target: [B, H, W, J] heatmaps (already subset-selected if
         a joint subset is in use — mirroring how the reference applies
         `index_select` before calling accuracy).
-      idxs: optional static list of joint indices to score (default all).
+      idxs: optional joint-id list — used for its LENGTH only (score
+        the first len(idxs) joints), exactly like the reference, whose
+        loop indexes `dists[i]` with the loop counter, not idxs[i]
+        (evaluation.py:69): its callers pass the ORIGINAL subset ids
+        alongside already-index_select'ed heatmaps, so the ids
+        themselves would be out of range here. Default: all joints.
       thr:  PCK threshold (`COMMON.pck` in the reference config).
 
     Parity: `/root/reference/src/utils/evaluation.py:52-76` (norm =
@@ -93,7 +98,7 @@ def accuracy(output, target, idxs=None, thr=0.5):
     norm = jnp.full((B,), W / 10.0, jnp.float32)
     dists = calc_dists(preds, gts, norm)                 # [B, J]
     if idxs is not None:
-        dists = dists[:, jnp.asarray(idxs)]
+        dists = dists[:, :len(idxs)]
 
     valid = dists != -1.0
     n = jnp.sum(valid, axis=0)                           # [J']

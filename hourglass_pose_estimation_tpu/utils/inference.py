@@ -35,6 +35,15 @@ def _broadcast_cs(center, scale, B):
     if scales.ndim == 0:
         scales = np.broadcast_to(scales, (B,))
     elif scales.ndim == 1 and scales.shape[0] == 2:
+        # a shape-(2,) vector is read as ONE (sx, sy) pair broadcast
+        # over the batch (the reference's per-call scalar-pair shape).
+        # With B == 2 this is ambiguous against "two per-sample scalar
+        # scales" — refuse the guess; per-sample scales must be [B, 1]
+        # or [B, 2]
+        if B == 2 and float(scales[0]) != float(scales[1]):
+            raise ValueError(
+                'ambiguous scale of shape (2,) with batch 2: pass '
+                '[B, 2] per-sample scales or a scalar')
         scales = np.broadcast_to(scales, (B, 2))
     return centers, scales
 
@@ -44,21 +53,36 @@ def get_final_preds_v1(hms, center, scale, output_size=None,
     """Argmax + quarter-offset decode -> source-image coords.
 
     Parity: inference.py:48-67 (single-sample there; batched here).
-    `output_size` is accepted for signature parity; the heatmap size
-    is what the affine actually uses, as in the reference.
+    `output_size` (w, h), when given, is the size the inverse affine
+    maps from — exactly the reference's transform_preds output_size
+    (its estimator passes FRAME dims with a matching frame-scale,
+    estimator.py:76-82); default is the heatmap size.
     """
     nhwc = _to_nhwc(hms, layout)
     centers, scales = _broadcast_cs(center, scale, nhwc.shape[0])
-    preds, _ = decode_quarter_offset(nhwc, centers, scales)
+    size = tuple(int(v) for v in output_size) if output_size is not None \
+        else None
+    preds, _ = decode_quarter_offset(nhwc, centers, scales,
+                                     affine_size=size)
     return np.asarray(preds)
 
 
 def get_final_preds_v2(hms, center, scale, output_size=None,
                        layout: str = 'NCHW'):
-    """DARK decode -> source-image coords (parity: inference.py:70-87)."""
+    """DARK decode -> source-image coords (parity: inference.py:70-87).
+
+    `output_size` as in `get_final_preds_v1`. Documented FIX vs the
+    reference: its refinement loop `for p in range(coords.shape[1])`
+    iterates over the COORDINATE axis (length 2), so only joints 0-1
+    ever receive the Taylor step; here every joint is refined (the
+    loop bound is plainly a bug — the quirks kept for parity elsewhere
+    are ones that affect the reference's own reported metrics).
+    """
     nhwc = _to_nhwc(hms, layout)
     centers, scales = _broadcast_cs(center, scale, nhwc.shape[0])
-    preds, _ = decode_dark(nhwc, centers, scales)
+    size = tuple(int(v) for v in output_size) if output_size is not None \
+        else None
+    preds, _ = decode_dark(nhwc, centers, scales, affine_size=size)
     return np.asarray(preds)
 
 

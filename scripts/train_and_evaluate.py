@@ -38,16 +38,18 @@ def main(argv):
     from hourglass_pose_estimation_tpu.runner import checkpoint as ckpt_lib
 
     if cfg.common.evaluate_only:
+        # fail fast on a missing checkpoint BEFORE building datasets
+        # (parsing a large annotation set twice just to raise is slow)
+        if not (cfg.common.resume and os.path.exists(cfg.common.resume)):
+            raise FileNotFoundError(cfg.common.resume
+                                    or '<COMMON.resume unset>')
         evaluator = Evaluator(cfg)
         # builds model + state shell; eval_only skips the train split
         # (train annotations need not exist on an eval-only machine)
         trainer = Trainer(cfg, verbose=False, eval_only=True)
-        if cfg.common.resume and os.path.exists(cfg.common.resume):
-            payload = ckpt_lib.restore(cfg.common.resume, trainer.state)
-            state = payload['state']
-            print(f"Loaded model {cfg.common.resume}")
-        else:
-            raise FileNotFoundError(cfg.common.resume or '<COMMON.resume unset>')
+        payload = ckpt_lib.restore(cfg.common.resume, trainer.state)
+        state = payload['state']
+        print(f"Loaded model {cfg.common.resume}")
         loss, acc = evaluator.evaluate(state)
         print(f'loss {loss:.5f} | pck {acc:.4f}')
         if cfg.eval.official:
