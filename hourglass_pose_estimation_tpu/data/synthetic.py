@@ -21,7 +21,6 @@ _SKELETON = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8),
              (8, 9), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
 
 
-_FLIP_PAIRS = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
 
 
 def _make_sample(idx: int, res: int, n_joints: int):
@@ -37,7 +36,9 @@ def _make_sample(idx: int, res: int, n_joints: int):
     # image-left one — so horizontal flip + pair swap (the training
     # augmentation) yields *consistent* supervision.
     color_group = np.arange(n_joints)
-    for a, b in _FLIP_PAIRS:
+    # single source of truth: the class attribute the flip augmentation
+    # uses (data/common.py) — image generation can never disagree
+    for a, b in Synthetic.flip_pairs:
         if a < n_joints and b < n_joints:
             color_group[b] = color_group[a]
             if joints[a, 0] > joints[b, 0]:
@@ -71,6 +72,9 @@ class Synthetic(PoseDataset):
     name = 'synthetic'
     n_joints = 16
     flip_pairs = [[0, 5], [1, 4], [2, 3], [10, 15], [11, 14], [12, 13]]
+    # stored scale is res/200 with NO 1.25 box expansion (unlike
+    # mpii/coco loaders) — OKS area derivation must not divide it out
+    scale_stored_expand = 1.0
 
     def __init__(self, is_train: bool, *, num_samples=512, image_path='',
                  annotation_path='', flip=True, label_type='Gaussian',

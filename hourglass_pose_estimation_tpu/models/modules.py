@@ -82,13 +82,12 @@ class Bottleneck(nn.Module):
                 and min(x.shape[1], x.shape[2]) >= self.fuse_min_hw):
             from hourglass_pose_estimation_tpu.ops.pallas.bottleneck import (
                 fused_bottleneck, params_from_variables)
-            import jax as _jax
             prm = params_from_variables(
                 {'params': self.variables['params'],
                  'batch_stats': self.variables['batch_stats']},
                 dtype=self.dtype)
             return fused_bottleneck(x.astype(self.dtype), prm,
-                                    _jax.default_backend() != 'tpu')
+                                    jax.default_backend() != 'tpu')
         norm = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.promote_types(jnp.float32, self.dtype),

@@ -38,8 +38,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from hourglass_pose_estimation_tpu.loss import heatmap_mse_loss
-from hourglass_pose_estimation_tpu.utils.evaluation import accuracy
+from hourglass_pose_estimation_tpu.utils.evaluation import (
+    pck_counts, combine_pck_counts)
 from hourglass_pose_estimation_tpu.data.pipeline import augment_batch
+from hourglass_pose_estimation_tpu.runner.train_state import _select_subset
 
 
 def make_shard_map_train_step(spec, mesh: Mesh, *, subset=None,
@@ -59,10 +61,8 @@ def make_shard_map_train_step(spec, mesh: Mesh, *, subset=None,
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         rng = jax.random.fold_in(rng, state.step)
         data = augment_batch(batch, rng, spec, True)
-        target, tw = data['target'], data['target_weight']
-        if subset_t is not None:
-            idx = jnp.asarray(subset_t)
-            target, tw = target[..., idx], tw[:, idx]
+        target, tw = _select_subset(data['target'],
+                                    data['target_weight'], subset_t)
 
         def loss_fn(params):
             outs, mutated = state.apply_fn(
@@ -78,8 +78,14 @@ def make_shard_map_train_step(spec, mesh: Mesh, *, subset=None,
         loss = jax.lax.pmean(loss, axis)
         if sync_bn:
             new_stats = jax.lax.pmean(new_stats, axis)
-        acc, _, _ = accuracy(outs[-1], target, thr=pck_thr)
-        acc = jax.lax.pmean(acc, axis)
+        # GLOBAL-batch PCK: psum the per-joint hit/valid counts before
+        # combining — a pmean of per-shard averages weights joints and
+        # shards differently whenever joint visibility is uneven,
+        # diverging from the implicit path's single-batch accuracy
+        hit, nv = pck_counts(outs[-1], target, thr=pck_thr)
+        hit = jax.lax.psum(hit, axis)
+        nv = jax.lax.psum(nv, axis)
+        acc, _, _ = combine_pck_counts(hit, nv)
 
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -230,7 +230,12 @@ class Evaluator:
         else:
             # uniform kappa for datasets without published constants
             sigmas = np.full((self.ds.n_joints,), 0.079)
-        areas = instance_areas_from_scales(r.scales)
+        # datasets store scale = expand * box/200 (mpii/coco bake in
+        # 1.25; synthetic stores the raw covering box) — divide out
+        # whatever THIS dataset baked in
+        areas = instance_areas_from_scales(
+            r.scales,
+            scale_expand=getattr(self.ds, 'scale_stored_expand', 1.25))
         table = oks_recall(preds, r.joints, r.vis, areas, sigmas)
         image_ids = getattr(self.ds, 'image_ids', None)
         if image_ids is not None and output_dir:

@@ -92,6 +92,19 @@ def accuracy(output, target, idxs=None, thr=0.5):
     heatmap_width / 10, averaged over joints that have any valid
     ground truth).
     """
+    hit, n = pck_counts(output, target, idxs=idxs, thr=thr)
+    return combine_pck_counts(hit, n)
+
+
+def pck_counts(output, target, idxs=None, thr=0.5):
+    """Per-joint PCK numerators/denominators: (hit [J'], n [J']).
+
+    The raw per-sample counts behind `accuracy` — data-parallel shards
+    psum these across the mesh before `combine_pck_counts`, which makes
+    the sharded metric EQUAL to single-device global-batch accuracy
+    (averaging per-shard averages would weight joints and shards
+    differently whenever joint visibility is uneven across shards).
+    """
     B, H, W, J = output.shape
     preds, _ = get_preds(output)
     gts, _ = get_preds(target)
@@ -99,14 +112,21 @@ def accuracy(output, target, idxs=None, thr=0.5):
     dists = calc_dists(preds, gts, norm)                 # [B, J]
     if idxs is not None:
         dists = dists[:, :len(idxs)]
-
     valid = dists != -1.0
     n = jnp.sum(valid, axis=0)                           # [J']
     hit = jnp.sum((dists < thr) & valid, axis=0)
+    return hit, n
+
+
+def combine_pck_counts(hit, n):
+    """(hit [J], n [J]) -> (avg_acc, per_joint_acc [J], valid_count)."""
     per_joint = jnp.where(n > 0, hit / jnp.maximum(n, 1), -1.0)
     scored = per_joint >= 0
     cnt = jnp.sum(scored)
-    avg = jnp.where(cnt > 0, jnp.sum(jnp.where(scored, per_joint, 0.0)) / jnp.maximum(cnt, 1), 0.0)
+    avg = jnp.where(
+        cnt > 0,
+        jnp.sum(jnp.where(scored, per_joint, 0.0)) / jnp.maximum(cnt, 1),
+        0.0)
     return avg, per_joint, cnt
 
 

@@ -59,12 +59,20 @@ def draw_skeleton(image: np.ndarray, kps: np.ndarray, scale_x: float = 1.0,
     endpoint circles when their confidence clears `thr` and the
     connecting line when both do. `kps` is [J, 3] (x, y, conf) in
     heatmap coordinates (e.g. from `decode_nms_peaks`); `parts` defaults
-    by joint count (17 -> COCO, 16 -> MPII).
+    by joint count (17 -> COCO, 16 -> MPII; other counts keep the COCO
+    pairs that fit, so e.g. 14-joint crowdpose renders its shared limbs
+    instead of indexing out of bounds — pass an explicit table for an
+    exact skeleton).
     """
     import cv2
     kps = np.asarray(kps)
     if parts is None:
-        parts = BODY_PARTS_KPT_IDS if kps.shape[0] != 16 else MPII_PARTS_KPT_IDS
+        J = kps.shape[0]
+        if J == 16:
+            parts = MPII_PARTS_KPT_IDS
+        else:
+            parts = [(a, b) for a, b in BODY_PARTS_KPT_IDS
+                     if a < J and b < J]
     for a, b in parts:
         ca, cb = kps[a, 2], kps[b, 2]
         xa = (int(kps[a, 0] * stride * scale_x), int(kps[a, 1] * stride * scale_y))
