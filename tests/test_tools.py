@@ -41,7 +41,9 @@ def test_extract_hands(tmp_path):
     with open(src_path, 'w') as fp:
         json.dump(src, fp)
     out = extract_hands.extract(str(src_path), str(out_path))
-    assert len(out['annotations']) == 1          # invalid-left filtered
+    # reference semantics (extract_full_coco.py:21-22): EITHER-valid
+    # keeps the annotation — the invalid hand's joints come out v=0
+    assert len(out['annotations']) == 2
     ann = out['annotations'][0]
     assert len(ann['keypoints']) == 22 * 3
     # first kept left kpt is wrist (index 0)
@@ -50,10 +52,14 @@ def test_extract_hands(tmp_path):
     # full_coco.py:71): the 4th kept joint must be hand index 5 (x=15),
     # not index 6 as a uniform every-other stride would give
     assert ann['keypoints'][3 * 3:3 * 3 + 2] == [15.0, 25.0]
+    # the invalid-left annotation: 11 zeroed left joints, right kept
+    ann2 = out['annotations'][1]
+    assert ann2['keypoints'][:11 * 3] == [0] * (11 * 3)
+    assert ann2['keypoints'][11 * 3:11 * 3 + 2] == [110.0, 120.0]
     # loads back through the hands dataset joint count
     from hourglass_pose_estimation_tpu.data.coco_json import load_coco_keypoints
     d = load_coco_keypoints(str(out_path), 22)
-    assert d['joints'].shape == (1, 22, 2)
+    assert d['joints'].shape == (2, 22, 2)
 
 
 def test_kinect_convert(tmp_path):

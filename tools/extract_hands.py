@@ -30,15 +30,23 @@ def extract(wholebody_path: str, out_path: str, min_vis: int = 6) -> dict:
     for ann in src.get('annotations', []):
         lh = ann.get('lefthand_kpts') or []
         rh = ann.get('righthand_kpts') or []
-        if (not ann.get('lefthand_valid') or not ann.get('righthand_valid')
-                or len(lh) < 63 or len(rh) < 63):
+        # reference semantics (extract_full_coco.py:21-22): keep when
+        # EITHER hand is valid; the invalid/missing hand's joints are
+        # emitted as v=0 zeros (unsupervised), not used to reject the
+        # whole annotation
+        lh_ok = bool(ann.get('lefthand_valid')) and len(lh) >= 63
+        rh_ok = bool(ann.get('righthand_valid')) and len(rh) >= 63
+        if not (lh_ok or rh_ok):
             continue
         kps = []
         n_vis = 0
-        for hand in (lh, rh):
+        for hand, ok in ((lh, lh_ok), (rh, rh_ok)):
             for i in HAND_KEEP:
-                x, y, v = hand[i * 3:i * 3 + 3]
-                v = 1 if v > 0 else 0
+                if ok:
+                    x, y, v = hand[i * 3:i * 3 + 3]
+                    v = 1 if v > 0 else 0
+                else:
+                    x = y = v = 0
                 n_vis += v
                 kps += [x, y, v]
         if n_vis < min_vis:

@@ -68,7 +68,9 @@ class TFSavedModelDetector:
     def __call__(self, img):
         import tensorflow as tf
         h, w = img.shape[:2]
-        inp = tf.convert_to_tensor(img[None])
+        # cv2 frames are BGR; TF detection-zoo SavedModels are trained
+        # on RGB (same flip the frozen-graph path applies below)
+        inp = tf.convert_to_tensor(img[..., ::-1][None])
         out = self.model(inp)
         boxes = out['detection_boxes'][0].numpy()
         classes = out['detection_classes'][0].numpy().astype(int)

@@ -8,8 +8,8 @@ train/test splits.
 
 Input format: a directory of per-video json files, each a list of
 frames; a frame is {"frame": <image file>, "bodies": [{"joints":
-[[x, y, state], ...25]}]} (state > 0 means tracked). Other layouts can
-be adapted via --joints-key/--frame-key.
+[[x, y, state], ...25]}]} (state > 0 means tracked); "image" is
+accepted as an alias for "frame".
 
 Usage:
     python tools/kinect2_to_coco.py <in_dir> <out_prefix> [--test-frac 0.1]
@@ -75,6 +75,12 @@ def convert(in_dir: str, out_prefix: str, test_frac: float = 0.1,
             frames = json.load(fp)
         for fr in frames:
             fname = fr.get('frame') or fr.get('image')
+            if fname is None:
+                # fail HERE with the offending file, not at training
+                # time with a null file_name deep in the dataset loader
+                raise ValueError(
+                    f'{path}: frame record has neither a "frame" nor '
+                    f'an "image" key (keys: {sorted(fr)})')
             bodies = fr.get('bodies') or []
             added = False
             for body in bodies:

@@ -52,9 +52,13 @@ def _decode_draw(frame, out, skeleton=False, res=256):
     if isinstance(out, (tuple, list)):
         # keypoints-surface artifact (EVAL.export_keypoints): (kps in
         # network-input pixels, maxvals) — scale to the frame and draw
+        # the joints whose peak clears the same 0.02 confidence gate the
+        # heatmaps branch applies (an argmax of a near-zero map is noise)
         kps = np.asarray(out[0])[0] * np.array([w / res, h / res])
-        for x, y in kps:
-            cv2.circle(frame, (int(x), int(y)), 5, (0, 0, 255), -1)
+        conf = np.asarray(out[1])[0].reshape(-1)
+        for (x, y), c in zip(kps, conf):
+            if c > 0.02:
+                cv2.circle(frame, (int(x), int(y)), 5, (0, 0, 255), -1)
         return frame
     heatmaps = out
     if skeleton:
@@ -87,10 +91,14 @@ def run_sync(args):
                             if isinstance(o, (tuple, list)) else np.asarray(o))
     out = tuple_safe(fn(x))  # warm-up / compile (host fetch = honest)
     if args.profile:
-        if jax.devices()[0].platform not in ('cpu', 'gpu', 'tpu'):
-            print(f'skipping --profile: jax.profiler.trace hangs on the '
-                  f'{jax.devices()[0].platform!r} remote transport '
-                  f'(CLAUDE.md hazard 7)')
+        # the axon-tunneled TPU reports platform 'tpu', so detect the
+        # remote transport by the backend's platform_version instead
+        import jax.extend.backend
+        ver = getattr(jax.extend.backend.get_backend(),
+                      'platform_version', '')
+        if 'axon' in ver:
+            print('skipping --profile: jax.profiler.trace hangs on the '
+                  'axon remote transport (CLAUDE.md hazard 7)')
         else:
             with jax.profiler.trace(args.profile):
                 tuple_safe(fn(x))
@@ -138,7 +146,10 @@ def run_async(args):
     prev = None                                    # (path, frame, pending out)
     n = 0
     for path in frames:
-        frame, x = _prep(path, args.res, mean, std, raw=args.raw)
+        try:
+            frame, x = _prep(path, args.res, mean, std, raw=args.raw)
+        except FileNotFoundError:
+            continue        # stray non-image file in the frames dir
         pending = fn(x)                            # dispatched, not awaited
         if prev is not None:
             p_path, p_frame, p_out = prev
