@@ -33,7 +33,16 @@ ESTIMATOR_MEANSTD = {
 
 
 def get_meanstd(name: str):
+    """Dataset statistics by substring match ('merl' matches merl3000).
+
+    Unknown names fall back to the synthetic (0.5, 0.25) stats WITH a
+    warning — a typo'd dataset silently mis-normalizing every input is
+    exactly the failure mode this message exists to surface.
+    """
     for key, v in MEANSTD.items():
-        if key in name:
+        if key in name or name in key:
             return v
+    import warnings
+    warnings.warn(f'get_meanstd: no statistics for dataset {name!r}; '
+                  'falling back to synthetic (0.5, 0.25)')
     return MEANSTD['synthetic']

@@ -26,12 +26,18 @@ def heatmap_mse_loss(outputs, target, target_weight=None, use_target_weight=True
       target_weight: [B, J] visibility weights (or None).
     Returns scalar float32 loss.
     """
+    if use_target_weight and target_weight is None:
+        # the reference crashes here; a silent unweighted loss would
+        # let occluded joints contribute full gradient with no signal
+        raise ValueError('use_target_weight=True requires target_weight '
+                         '(pass use_target_weight=False for the '
+                         'unweighted loss)')
     # upcast to at least f32 (bf16 inputs -> f32; f64 parity runs stay f64)
     dt = jnp.promote_types(jnp.float32, outputs.dtype)
     outputs = outputs.astype(dt)
     target = target.astype(dt)[None]                    # [1, B, H, W, J]
     diff = outputs - target
-    if use_target_weight and target_weight is not None:
+    if use_target_weight:
         w = target_weight.astype(dt)[None, :, None, None, :]
         diff = diff * w
     # mean over (B, H, W) per (stack, joint); then mean over joints,

@@ -25,6 +25,30 @@ import jax
 import jax.numpy as jnp
 
 
+def render_preamble(joints, joints_vis, heatmap_size, image_size, sigma):
+    """Shared peak-quantization + off-map-weight preamble of the XLA
+    renderer AND its Pallas twin (ops/pallas/render.py) — one place for
+    the reference's int()-truncation and window-miss rules
+    (common.py:218-227), so the two renderers cannot diverge.
+
+    Returns (mu [B, J, 2] int32 peak coords, weight [B, J] float32)."""
+    joints = jnp.asarray(joints, jnp.float32)
+    vis = jnp.asarray(joints_vis, jnp.float32)
+    Wh, Hh = int(heatmap_size[0]), int(heatmap_size[1])
+    Wi, Hi = int(image_size[0]), int(image_size[1])
+    stride = jnp.array([Wi / Wh, Hi / Hh], jnp.float32)
+    tmp = int(3 * sigma)
+
+    # int() truncation semantics of the reference (common.py:218-219)
+    mu = jnp.trunc(joints / stride + 0.5).astype(jnp.int32)      # [B, J, 2]
+    ul = mu - tmp
+    br = mu + tmp + 1
+    size = jnp.array([Wh, Hh], jnp.int32)
+    off_map = jnp.any(ul >= size, axis=-1) | jnp.any(br < 0, axis=-1)
+    weight = jnp.where(off_map, 0.0, vis)                        # [B, J]
+    return mu, weight
+
+
 @functools.partial(jax.jit, static_argnames=("heatmap_size", "image_size", "sigma"))
 def render_gaussian_targets(joints, joints_vis, *, heatmap_size, image_size, sigma):
     """Render Gaussian targets for a batch.
@@ -40,20 +64,10 @@ def render_gaussian_targets(joints, joints_vis, *, heatmap_size, image_size, sig
       target: [B, Hh, Wh, J] float32.
       target_weight: [B, J] float32.
     """
-    joints = jnp.asarray(joints, jnp.float32)
-    vis = jnp.asarray(joints_vis, jnp.float32)
+    mu, weight = render_preamble(joints, joints_vis, heatmap_size,
+                                 image_size, sigma)
     Wh, Hh = int(heatmap_size[0]), int(heatmap_size[1])
-    Wi, Hi = int(image_size[0]), int(image_size[1])
-    stride = jnp.array([Wi / Wh, Hi / Hh], jnp.float32)
-    tmp = int(3 * sigma)
-
-    # int() truncation semantics of the reference (common.py:218-219)
-    mu = jnp.trunc(joints / stride + 0.5).astype(jnp.int32)      # [B, J, 2]
-    ul = mu - tmp
-    br = mu + tmp + 1
-    size = jnp.array([Wh, Hh], jnp.int32)
-    off_map = jnp.any(ul >= size, axis=-1) | jnp.any(br < 0, axis=-1)
-    weight = jnp.where(off_map, 0.0, vis)                        # [B, J]
+    tmp = int(3 * sigma)                     # 6σ+1 window half-extent
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (Hh, Wh), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (Hh, Wh), 0)

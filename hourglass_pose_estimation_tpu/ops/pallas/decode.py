@@ -60,7 +60,15 @@ def _decode_kernel(hm_ref, coords_ref, maxval_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_peaks_pallas(heatmaps, interpret: bool = False):
     """[B, H, W, J] -> (coords [B, J, 2] 0-based quarter-refined,
-    maxvals [B, J])."""
+    maxvals [B, J]).
+
+    Implements the CORRECTED 0-based convention only (the boundary
+    gate is 0 < p < dim-1 on true peak coords) — i.e. it substitutes
+    for `decode_quarter_offset(zero_based=True)`. It is NOT a drop-in
+    for the reference-parity mode (zero_based=False), whose 1-based
+    coords gate edge-adjacent peaks differently (effective
+    1 <= p <= dim-3); use the XLA decoder for bit-parity evals.
+    """
     heatmaps = jnp.asarray(heatmaps, jnp.float32)
     B, H, W, J = heatmaps.shape
     coords, maxvals = pl.pallas_call(

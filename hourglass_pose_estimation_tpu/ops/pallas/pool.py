@@ -25,7 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _row_tile(H_out: int) -> int:
-    return min(H_out, 8)
+    # must DIVIDE H_out: grid = H_out // hT silently drops trailing
+    # rows otherwise (H_out=12 with a fixed hT=8 left output rows 8-11
+    # uninitialized) — largest divisor of H_out <= 8
+    for d in range(min(H_out, 8), 0, -1):
+        if H_out % d == 0:
+            return d
+    return 1
 
 
 def _fwd_kernel(x_ref, out_ref):

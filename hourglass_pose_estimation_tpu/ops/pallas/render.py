@@ -42,20 +42,13 @@ def _render_kernel(mu_ref, weight_ref, target_ref, *, sigma: int):
 def render_gaussian_targets_pallas(joints, joints_vis, *, heatmap_size,
                                    image_size, sigma, interpret=False):
     """Drop-in replacement for ops.heatmap.render_gaussian_targets."""
-    joints = jnp.asarray(joints, jnp.float32)
-    vis = jnp.asarray(joints_vis, jnp.float32)
-    B, J = vis.shape
+    from hourglass_pose_estimation_tpu.ops.heatmap import render_preamble
+    B, J = jnp.asarray(joints_vis).shape
     Wh, Hh = int(heatmap_size[0]), int(heatmap_size[1])
-    Wi, Hi = int(image_size[0]), int(image_size[1])
-    stride = jnp.array([Wi / Wh, Hi / Hh], jnp.float32)
-    tmp = int(3 * sigma)
-
-    mu = jnp.trunc(joints / stride + 0.5).astype(jnp.int32)   # [B, J, 2]
-    ul = mu - tmp
-    br = mu + tmp + 1
-    size = jnp.array([Wh, Hh], jnp.int32)
-    off_map = jnp.any(ul >= size, axis=-1) | jnp.any(br < 0, axis=-1)
-    weight = jnp.where(off_map, 0.0, vis)
+    # shared peak-quantization/off-map rules — one source of truth with
+    # the XLA renderer (its parity test is this kernel's oracle)
+    mu, weight = render_preamble(joints, joints_vis, heatmap_size,
+                                 image_size, sigma)
 
     target = pl.pallas_call(
         functools.partial(_render_kernel, sigma=int(sigma)),

@@ -21,8 +21,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _row_tile(H: int) -> int:
-    # low-res rows per block; out block = (2*hT, 2W, C)
-    return min(H, 8)
+    # low-res rows per block (out block = (2*hT, 2W, C)). Must DIVIDE H:
+    # grid = H // hT silently drops trailing rows otherwise (e.g. H=12
+    # from a 192-px input with a fixed hT=8 left rows 8-11 unread and
+    # the corresponding output rows uninitialized) — take the largest
+    # divisor of H <= 8
+    for d in range(min(H, 8), 0, -1):
+        if H % d == 0:
+            return d
+    return 1
 
 
 def _fwd_kernel(low_ref, skip_ref, out_ref):

@@ -46,10 +46,13 @@ def profile_step(fn, *args, trace_dir: str = '/tmp/jax-trace',
     `allow_remote_tpu=True`; use tools/decompose_bench.py (chained
     value-fetch phase timing) there instead.
     """
-    platform = jax.devices()[0].platform
-    if platform not in ('cpu', 'gpu', 'tpu') and not allow_remote_tpu:
+    # the axon tunnel reports platform 'tpu' — detect the remote
+    # transport by the backend's platform_version string instead
+    import jax.extend.backend
+    ver = getattr(jax.extend.backend.get_backend(), 'platform_version', '')
+    if 'axon' in ver and not allow_remote_tpu:
         raise RuntimeError(
-            f"jax.profiler.trace hangs on remote transport {platform!r}; "
+            "jax.profiler.trace hangs on the axon remote transport; "
             "pass allow_remote_tpu=True to force, or use "
             "tools/decompose_bench.py for phase timing")
     jax.block_until_ready(fn(*args))         # compile outside the trace

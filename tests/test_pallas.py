@@ -310,3 +310,36 @@ def test_fused_bottleneck_grad_bf16():
         assert a.dtype == b.dtype and np.isfinite(
             np.asarray(a, np.float32)).all()
     assert float(jnp.abs(gx.astype(jnp.float32)).sum()) > 0
+
+
+def test_upsample_and_pool_non_multiple_of_8_heights(rng):
+    """H=12 (a 192-px-derived level) previously truncated the row-tile
+    grid (hT fixed at 8, grid=H//hT=1) and left output rows
+    uninitialized; the tile height must divide H."""
+    from hourglass_pose_estimation_tpu.ops.pallas import (
+        upsample2x_add_pallas, maxpool2x2_pallas)
+    import flax.linen as nn
+
+    low = jnp.asarray(rng.normal(size=(2, 12, 12, 32)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(size=(2, 24, 24, 32)).astype(np.float32))
+    got = upsample2x_add_pallas(low, skip, True)
+    ref = upsample2x_nearest(low) + skip
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    gl, gs = jax.grad(lambda l, s: jnp.sum(
+        jnp.sin(upsample2x_add_pallas(l, s, True))), argnums=(0, 1))(
+            low, skip)
+    rl, rs = jax.grad(lambda l, s: jnp.sum(
+        jnp.sin(upsample2x_nearest(l) + s)), argnums=(0, 1))(low, skip)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), atol=1e-5)
+
+    x = jnp.asarray(rng.normal(size=(2, 24, 24, 32)).astype(np.float32))
+    got = maxpool2x2_pallas(x, True)
+    ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+    gp = jax.grad(lambda a: jnp.sum(jnp.sin(
+        maxpool2x2_pallas(a, True))))(x)
+    rp = jax.grad(lambda a: jnp.sum(jnp.sin(
+        nn.max_pool(a, (2, 2), strides=(2, 2)))))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(rp), atol=1e-5)
